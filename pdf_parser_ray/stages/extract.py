@@ -1,0 +1,90 @@
+"""The flagship extraction stage: corpus rows → extraction records.
+
+Rebuilds the reference's per-document ``process_pdf`` loop
+(``sec_parser/cli.py:102-111`` — strictly sequential) as an actor-pool
+``map_batches`` over zero-copy Arrow batches. Stateful setup (taxonomy alias
+index, structured-facts side table) happens once per actor in ``__init__``
+— the reference reloaded the taxonomy per document (``pipeline.py:245``)
+and rebuilt the alias index per table (``normalize.py:110``).
+
+Scale notes
+-----------
+* The facts side table is small (an EDGAR stand-in); it is loaded from a
+  parquet path in ``__init__`` — once per actor, never per batch. Passing a
+  path (not an ObjectRef) also sidesteps ray#53727 (actor restart with
+  constructor args in the object store).
+* ``batch_size`` defaults small (16): payloads are whole documents, and the
+  per-document parse is the expensive part — small batches keep the
+  streaming executor's pipeline full and bound worker heap.
+* Oversized payloads (> ``skew_split_bytes``) are routed through the same
+  actors but in single-row batches via a pre-pass ``repartition`` hint; see
+  ``pipelines/flagship.py`` for the skew split.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..kernels.docpipe import process_document
+from ..kernels.facts import FactsStore
+from ..kernels.taxonomy import LabelNormalizer
+
+RECORD_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.string()),
+    ("status", pa.string()),
+    ("doc_kind", pa.string()),
+    ("family_key", pa.string()),
+    ("period_end", pa.string()),
+    ("extracted_text", pa.large_string()),
+    ("spans", pa.list_(pa.struct([("section", pa.string()),
+                                  ("start", pa.int64()),
+                                  ("end", pa.int64())]))),
+    ("mappings", pa.list_(pa.struct([("label", pa.string()),
+                                     ("canonical", pa.string())]))),
+    ("n_pages", pa.int64()),
+    ("n_spans", pa.int64()),
+    ("confidence_avg", pa.float64()),
+    ("meta_json", pa.large_string()),
+])
+
+
+class ExtractDocuments:
+    """Actor-pool UDF: one corpus batch in, one extraction-record batch out.
+
+    Use as ``ds.map_batches(ExtractDocuments, fn_constructor_kwargs=
+    {"facts_path": ...}, batch_format="pyarrow", batch_size=16,
+    concurrency=N)``.
+    """
+
+    def __init__(self, facts_path: str | None = None):
+        self.normalizer = LabelNormalizer()
+        self.facts: FactsStore | None = None
+        if facts_path:
+            import pyarrow.parquet as pq
+            self.facts = FactsStore(pq.read_table(facts_path).to_pylist())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        payloads = batch["html"].to_pylist()
+        ts = batch["warc_ts"].to_pylist()
+        recs = [process_document(u, h, str(t), self.normalizer, self.facts)
+                for u, h, t in zip(urls, payloads, ts)]
+        return pa.Table.from_pylist(recs, schema=RECORD_SCHEMA)
+
+
+def extract_dataset(ds, facts_path: str | None = None, *,
+                    batch_size: int = 16, concurrency=None,
+                    num_cpus: float = 1.0):
+    """Wire the extraction actor pool onto a corpus Dataset."""
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(
+        ExtractDocuments,
+        fn_constructor_kwargs={"facts_path": facts_path},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=num_cpus,
+        **kwargs,
+    )

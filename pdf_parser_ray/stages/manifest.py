@@ -1,0 +1,97 @@
+"""Resumable partitioned output: bucketed parquet + per-partition manifests.
+
+The reference has no checkpointing — a killed run restarts from zero and
+outputs are even mutated after the fact (``sec_parser/cli.py:19-41,122-124``).
+Here output is partitioned by a url-hash bucket; each completed bucket gets
+a ``_manifest.json`` sidecar recording row count, byte count, and an input
+fingerprint. On restart, :func:`resume_filter` drops rows of completed
+buckets *before* extraction, so finished partitions are never reprocessed
+(north rule: per-partition lineage manifests → killed run resumes).
+
+The bucket id is a deterministic hash of the url (not Python ``hash()``,
+which is salted per process), so the same corpus always lands in the same
+buckets across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def url_bucket(urls: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
+    """Vectorized-ish stable bucket: crc32(url) % n_buckets."""
+    return pa.array([zlib.crc32(u.encode()) % n_buckets
+                     for u in urls.to_pylist()], type=pa.int32())
+
+
+def add_bucket_column(ds, n_buckets: int = 64):
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column("bucket", url_bucket(batch["url"], n_buckets))
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def completed_buckets(out_dir: str) -> set[int]:
+    done: set[int] = set()
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if name.startswith("bucket="):
+            manifest = os.path.join(out_dir, name, "_manifest.json")
+            if os.path.exists(manifest):
+                done.add(int(name.split("=", 1)[1]))
+    return done
+
+
+def resume_filter(ds, out_dir: str, n_buckets: int = 64):
+    """Drop input rows whose output bucket already has a manifest."""
+    done = completed_buckets(out_dir)
+    if not done:
+        return ds
+    done_list = sorted(done)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        buckets = url_bucket(batch["url"], n_buckets)
+        mask = pc.invert(pc.is_in(buckets, value_set=pa.array(done_list,
+                                                              type=pa.int32())))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def write_partitioned(extracted_ds, out_dir: str, n_buckets: int = 64,
+                      input_fingerprint: str = "") -> dict:
+    """Write one directory per bucket + manifest sidecars.
+
+    Uses ``write_parquet(partition_cols=["bucket"])`` so each bucket is its
+    own directory (resumable, parallel-read friendly — never one giant
+    file), then stamps manifests from the written files. Returns summary
+    stats {rows, buckets}.
+    """
+    ds = add_bucket_column(extracted_ds, n_buckets)
+    ds.write_parquet(out_dir, partition_cols=["bucket"])
+
+    total_rows = 0
+    n_done = 0
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("bucket="):
+            continue
+        bdir = os.path.join(out_dir, name)
+        rows = bytes_ = nfiles = 0
+        for f in os.listdir(bdir):
+            if f.endswith(".parquet"):
+                import pyarrow.parquet as pq
+                rows += pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+                bytes_ += os.path.getsize(os.path.join(bdir, f))
+                nfiles += 1
+        with open(os.path.join(bdir, "_manifest.json"), "w") as fh:
+            json.dump({"bucket": int(name.split("=", 1)[1]), "rows": rows,
+                       "bytes": bytes_, "files": nfiles,
+                       "input_fingerprint": input_fingerprint}, fh)
+        total_rows += rows
+        n_done += 1
+    return {"rows": total_rows, "buckets": n_done}
