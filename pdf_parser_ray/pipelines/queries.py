@@ -1,0 +1,351 @@
+"""The query surface: named pipelines over the driver's testdata tables.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a pandas DataFrame (or
+Dataset). Column names match the DuckDB oracle SQL in ``ORACLE_SQL``
+exactly — the driver sorts columns by name and value-hashes, so every
+computed column is named identically on both sides.
+
+Float discipline: sums of doubles are rounded to 2 dp on BOTH sides (fp
+summation order differs between engines); counts and token stats are
+integers (exact); cosine similarities are computed in float64 on both
+sides and rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..stages import dedup as D
+from ..stages import relational as R
+from ..stages import similarity as SIM
+from ..stages import textstats as TS
+from ..stages.multimodal import SampleFrames
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational (TPC-H-ish) — exercise partial-agg groupby / broadcast join /
+# grouped rank / top-k
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    out = R.pre_aggregate(
+        ds, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("l_quantity", "sum"),
+         "sum_base_price": ("l_extendedprice", "sum"),
+         "count_order": ("l_quantity", "count")})
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_base_price"] = out["sum_base_price"].round(2)
+    out["count_order"] = out["count_order"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q02_segment_revenue(sf_dir: str) -> pd.DataFrame:
+    customer = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_totalprice"])
+    joined = R.broadcast_join(orders, customer.rename(
+        columns={"c_custkey": "o_custkey"}), on="o_custkey")
+    out = R.pre_aggregate(joined, ["c_mktsegment"],
+                          {"revenue": ("o_totalprice", "sum"),
+                           "n_orders": ("o_totalprice", "count")})
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q03_order_priority(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_orderpriority", "o_orderstatus"])
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["o_orderstatus"] == "F"]
+
+    out = R.pre_aggregate(
+        ds.map_batches(flt, batch_format="pandas"),
+        ["o_orderpriority"], {"order_count": ("o_orderstatus", "count")})
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q04_events_by_type(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events").select_columns(["event_type", "value"])
+    out = R.pre_aggregate(ds, ["event_type"],
+                          {"n": ("value", "count"),
+                           "total_value": ("value", "sum")})
+    out["n"] = out["n"].astype("int64")
+    out["total_value"] = out["total_value"].round(2)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q05_order_rank(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"])
+    ranked = R.grouped_rank(ds, "o_custkey", ["o_orderdate", "o_orderkey"],
+                            rank_col="rnk")
+    df = ranked.to_pandas()[["o_orderkey", "o_custkey", "rnk"]]
+    df["rnk"] = df["rnk"].astype("int64")
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q06_first_order(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"])
+    first = R.first_per_key(ds, "o_custkey", ["o_orderdate", "o_orderkey"],
+                            keep=["o_orderkey"])
+    df = first.to_pandas().rename(columns={"o_orderkey": "first_orderkey"})
+    return (df[["o_custkey", "first_orderkey"]]
+            .sort_values("o_custkey").reset_index(drop=True))
+
+
+def q07_top_orders(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_totalprice"])
+    out = R.topk(ds, "o_totalprice", 10, tie_break="o_orderkey")
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out[["o_orderkey", "o_totalprice"]].reset_index(drop=True)
+
+
+def q08_events_props(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events").select_columns(["event_type", "props"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["k_val"] = df["props"].str.extract(r'"k":\s*(\d+)').astype("int64")
+        return df[["event_type", "k_val"]]
+
+    out = R.pre_aggregate(ds.map_batches(extract, batch_format="pandas"),
+                          ["event_type"], {"sum_k": ("k_val", "sum"),
+                                           "max_k": ("k_val", "max")})
+    out["sum_k"] = out["sum_k"].astype("int64")
+    out["max_k"] = out["max_k"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+# ---------------------------------------------------------------------------
+
+
+def q10_doc_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text", "lang"])
+    stats = TS.text_stats_dataset(ds)
+    out = R.pre_aggregate(stats, ["lang"],
+                          {"n_docs": ("doc_id", "count"),
+                           "total_tokens": ("token_cnt", "sum"),
+                           "total_chars": ("char_cnt", "sum"),
+                           "total_bpe": ("bpe_cnt", "sum")})
+    for c in ("n_docs", "total_tokens", "total_chars", "total_bpe"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q11_lang_pred(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    pred = ds.map_batches(lambda df: TS.add_lang_pred(df),
+                          batch_format="pandas")
+    out = R.pre_aggregate(pred, ["lang_pred"],
+                          {"n": ("doc_id", "count")})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("lang_pred").reset_index(drop=True)
+
+
+def q12_quality_filter(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    stats = TS.text_stats_dataset(ds)
+    df = stats.filter(expr="is_quality == 1").select_columns(
+        ["doc_id", "token_cnt"]).to_pandas()
+    df["token_cnt"] = df["token_cnt"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q13_fingerprint(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    fp = ds.map_batches(lambda df: TS.add_fingerprint(df),
+                        batch_format="pandas")
+    df = fp.select_columns(["doc_id", "fingerprint"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (self-union corpus so duplicates exist by construction)
+# ---------------------------------------------------------------------------
+
+DUP_OFFSET = 10_000_000
+
+
+def _doubled_documents(sf_dir: str, perturb: bool = False):
+    """documents ∪ copy (ids + DUP_OFFSET); optionally append one token to
+    the copy's text so the pair is a near-dup, not an exact dup."""
+    import ray.data
+    base = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def shift(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["doc_id"] = df["doc_id"] + DUP_OFFSET
+        if perturb:
+            df["text"] = df["text"] + " perturbed"
+        return df
+
+    return base.union(base.map_batches(shift, batch_format="pandas"))
+
+
+def q20_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    ds = _doubled_documents(sf_dir)
+    fp = ds.map_batches(lambda df: TS.add_fingerprint(df),
+                        batch_format="pandas")
+    kept = D.exact_dedup(fp, "fingerprint", "doc_id",
+                         keep_cols=["doc_id"])
+    df = kept.to_pandas()[["doc_id", "fingerprint"]]
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _pair_recall(clusters: pd.DataFrame, id_name: str) -> pd.DataFrame:
+    """SQL-checkable invariant of a near-dup run over the doubled corpus:
+    every constructed duplicate pair (i, i+OFFSET) must land in one cluster.
+    Robust to extra merges from *natural* near-dups in the corpus (which
+    exact SQL can't model, but this invariant survives)."""
+    rep = dict(zip(clusters["id"], clusters["rep"]))
+    base = sorted(i for i in rep if i < DUP_OFFSET)
+    return pd.DataFrame({
+        id_name: pd.Series(base, dtype="int64"),
+        "same_cluster": pd.Series(
+            [int(rep[i] == rep.get(i + DUP_OFFSET)) for i in base],
+            dtype="int64"),
+    })
+
+
+def q21_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    clusters, _ = D.minhash_lsh_dedup(
+        _doubled_documents(sf_dir, perturb=True), "text", "doc_id",
+        threshold=0.7)
+    return _pair_recall(clusters, "doc_id")
+
+
+def q22_simhash_dedup(sf_dir: str) -> pd.DataFrame:
+    out = D.simhash_dedup(_doubled_documents(sf_dir), "text", "doc_id",
+                          max_hamming=3)
+    return _pair_recall(out, "doc_id")
+
+
+def q23_ngram_jaccard_dedup(sf_dir: str) -> pd.DataFrame:
+    out = D.ngram_jaccard_dedup(_doubled_documents(sf_dir, perturb=True),
+                                "text", "doc_id", threshold=0.7)
+    return _pair_recall(out, "doc_id")
+
+
+def q24_embedding_dedup(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+    base = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+
+    def shift(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["vec_id"] = df["vec_id"] + DUP_OFFSET
+        # scale by 2 — cosine-identical, a true near-dup for cosine metric
+        df["embedding"] = df["embedding"].map(
+            lambda v: (np.asarray(v) * 2.0).tolist())
+        return df
+
+    # identity pandas map so both union branches share a block type
+    # (mixed arrow+pandas blocks break iter_batches downstream)
+    base_pd = base.map_batches(lambda df: df, batch_format="pandas")
+    ds = base_pd.union(base_pd.map_batches(shift, batch_format="pandas"))
+    out = D.embedding_dedup(ds, "embedding", "vec_id", threshold=0.999999)
+    return _pair_recall(out, "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+N_QUERIES = 8
+KNN_K = 5
+
+
+def _query_vectors(sf_dir: str) -> dict:
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb[emb["vec_id"] < N_QUERIES].sort_values("vec_id")
+    return {"ids": q["vec_id"].tolist(),
+            "mat": np.stack(q["embedding"].to_numpy())}
+
+
+def q30_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "embeddings")
+    out = SIM.knn_topk(ds, _query_vectors(sf_dir), vec_col="embedding",
+                       id_col="vec_id", k=KNN_K)
+    for c in ("query_id", "neighbor_id"):
+        out[c] = out[c].astype("int64")
+    return out[["query_id", "neighbor_id", "cosine"]].reset_index(drop=True)
+
+
+def q31_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-pruned ANN + its recall against brute force (rows-only check)."""
+    ds = _read(sf_dir, "embeddings")
+    queries = _query_vectors(sf_dir)
+    cent = SIM.fit_centroids(ds, "embedding", n_centroids=8)
+    approx = SIM.knn_topk_ivf(ds, queries, cent, vec_col="embedding",
+                              id_col="vec_id", k=KNN_K, nprobe=3)
+    exact = SIM.knn_topk(ds, queries, vec_col="embedding", id_col="vec_id",
+                         k=KNN_K)
+    rows = []
+    for qid in queries["ids"]:
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        rows.append({"query_id": int(qid),
+                     "recall_pct": int(100 * len(a & e) / max(1, len(e)))})
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (deterministic fake decode)
+# ---------------------------------------------------------------------------
+
+
+def q40_frame_sample(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def to_payload(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"media_id": df["doc_id"],
+                             "payload": [t.encode() for t in df["text"]]})
+
+    media = ds.map_batches(to_payload, batch_format="pandas")
+    frames = media.map_batches(
+        SampleFrames, fn_constructor_kwargs={"payload_col": "payload",
+                                             "n_frames": 4},
+        batch_format="pandas", batch_size=64, concurrency=(1, 2))
+    df = frames.to_pandas()
+    df["media_id"] = df["media_id"].astype("int64")
+    df["frame_idx"] = df["frame_idx"].astype("int64")
+    return (df.sort_values(["media_id", "frame_idx"])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Flagship extraction (rows-only; the per-document semantics are not SQL)
+# ---------------------------------------------------------------------------
+
+
+def q50_extract(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    from ..sources.corpus import corpus_from_documents
+    from ..stages.extract import extract_dataset
+
+    rows = corpus_from_documents(sf_dir)
+    table = pa.Table.from_pylist(rows)
+    ds = ray.data.from_arrow(table)
+    extracted = extract_dataset(ds, None, concurrency=(1, 4))
+    df = extracted.select_columns(
+        ["url", "status", "doc_kind", "n_spans"]).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)

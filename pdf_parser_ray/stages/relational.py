@@ -1,0 +1,114 @@
+"""Relational building blocks used by the query surface: partial-aggregate
+groupby, broadcast hash join, grouped rank, first-wins per key.
+
+These encode the shuffle-discipline rules of SURVEY.md §4.2 as reusable
+helpers:
+
+* ``pre_aggregate`` — combine inside ``map_batches`` *before* the
+  ``groupby`` so the all-to-all moves one row per (block × key), not one
+  per input row.
+* ``broadcast_join`` — the small side is ``ray.put`` once and dict-looked-up
+  inside ``map_batches``; no shuffle at all.
+* ``grouped_rank`` — rank within a key ordered by a column; a grouped sort,
+  never a global one.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+AGGS = ("sum", "count", "min", "max")
+
+
+def pre_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
+                  batch_size: int = 8192) -> "pd.DataFrame":
+    """Partial+final aggregation.
+
+    ``aggs``: out_col → (in_col, fn) with fn in sum/count/min/max; ``avg``
+    is derived by callers as sum/count. Per-batch pandas groupby computes
+    partials; the final combine groups the (small) partial rows. Returns
+    the final pandas frame (aggregate results are driver-small by contract).
+    """
+    partial_specs = {}
+    for out, (col, fn) in aggs.items():
+        if fn not in AGGS:
+            raise ValueError(f"unsupported agg {fn}")
+        partial_specs[out] = (col, fn)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False)
+        cols = {}
+        for out, (col, fn) in partial_specs.items():
+            if fn == "count":
+                cols[out] = g[col].count() if col != "*" else g.size()
+            else:
+                cols[out] = getattr(g[col], fn)()
+        return pd.DataFrame(cols).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size)
+    final_df = partials.to_pandas()
+    g = final_df.groupby(keys, sort=False)
+    out_cols = {}
+    for out, (_, fn) in partial_specs.items():
+        out_cols[out] = g[out].sum() if fn in ("sum", "count") \
+            else getattr(g[out], fn)()
+    return pd.DataFrame(out_cols).reset_index()
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, *, on: str,
+                   select: list[str] | None = None, how: str = "inner",
+                   batch_size: int = 8192):
+    """Map-side hash join: ``small_df`` is broadcast via ``ray.put`` once;
+    each batch merges against it locally."""
+    import ray
+
+    if select:
+        small_df = small_df[[on, *select]]
+    small_ref = ray.put(small_df)
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(small_ref)
+        return df.merge(small, on=on, how=how)
+
+    return ds.map_batches(join, batch_format="pandas", batch_size=batch_size)
+
+
+def grouped_rank(ds, key: str, order_by: list[str], rank_col: str = "rnk"):
+    """row_number() over (partition by key order by order_by) as a grouped
+    shuffle; deterministic via full order_by tie-breaks."""
+    def rank(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(order_by, kind="mergesort")
+        df[rank_col] = range(1, len(df) + 1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ds.groupby(key).map_groups(rank, batch_format="pyarrow")
+
+
+def first_per_key(ds, key: str, order_by: list[str], *,
+                  keep: list[str]):
+    """arg_min-style first row per key (deterministic order_by)."""
+    def first(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(order_by, kind="mergesort").head(1)
+        return pa.Table.from_pandas(df[[key, *keep]], preserve_index=False)
+
+    return ds.groupby(key).map_groups(first, batch_format="pyarrow")
+
+
+def topk(ds, by: str, k: int, *, ascending: bool = False,
+         tie_break: str | None = None,
+         batch_size: int = 8192) -> pd.DataFrame:
+    """Global top-k without a global sort: per-batch local top-k, then a
+    driver-side merge of the k × blocks candidates. ``tie_break`` (always
+    ascending) makes the result deterministic under value ties."""
+    cols = [by] + ([tie_break] if tie_break else [])
+    asc = [ascending] + [True] * (len(cols) - 1)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(cols, ascending=asc, kind="mergesort").head(k)
+
+    cands = ds.map_batches(local, batch_format="pandas",
+                           batch_size=batch_size).to_pandas()
+    return (cands.sort_values(cols, ascending=asc, kind="mergesort")
+            .head(k).reset_index(drop=True))

@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Brute-force cosine top-k is the baseline: the query matrix is broadcast
+once (``ray.put``), each data batch does one numpy matmul and emits its
+*local* top-k per query, and a final tiny ``groupby(query_id)`` merges the
+per-block candidates — a combiner pattern, so the shuffle carries
+``O(queries × k × blocks)`` rows, never the corpus.
+
+The scale path is IVF: k-means-lite centroids (sampled, fit driver-side
+once), each row assigned to its nearest centroid at ingest
+(``add_ivf_partition``), and queries probe only ``nprobe`` partitions —
+same verify math, a fraction of the matmuls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class BlockTopK:
+    """Actor UDF: local cosine top-k of each batch against the broadcast
+    query matrix. Emits (query_id, neighbor_id, cosine) candidate rows."""
+
+    def __init__(self, queries_ref, vec_col: str, id_col: str, k: int):
+        import ray
+        q = ray.get(queries_ref)
+        self.qids = q["ids"]
+        self.qmat = _normalize(np.asarray(q["mat"], dtype=np.float64))
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        mat = _normalize(np.stack(df[self.vec_col].to_numpy()).astype(np.float64))
+        sims = self.qmat @ mat.T  # (nq, batch)
+        ids = df[self.id_col].to_numpy()
+        k = min(self.k, sims.shape[1])
+        take = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            cols = take[qi]
+            out_q += [qid] * len(cols)
+            out_n += ids[cols].tolist()
+            out_s += sims[qi, cols].tolist()
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                             "cosine": out_s})
+
+
+def knn_topk(ds, queries: dict, *, vec_col: str, id_col: str, k: int = 5,
+             batch_size: int = 2048, concurrency=(1, 4)) -> pd.DataFrame:
+    """Exact cosine top-k. ``queries`` = {"ids": [...], "mat": ndarray}.
+
+    Returns pandas (query_id, neighbor_id, cosine) with k rows per query,
+    cosine computed in float64 and rounded to 6 dp for cross-engine
+    comparability.
+    """
+    import ray
+
+    queries_ref = ray.put(queries)
+    cands = ds.select_columns([id_col, vec_col]).map_batches(
+        BlockTopK,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "vec_col": vec_col,
+                               "id_col": id_col, "k": k},
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency)
+
+    def merge(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().nlargest(k, "cosine")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    merged = cands.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    out = merged.to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return (out.sort_values(["query_id", "cosine", "neighbor_id"],
+                            ascending=[True, False, True])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# IVF (scale path)
+# ---------------------------------------------------------------------------
+
+
+def fit_centroids(ds, vec_col: str, n_centroids: int = 16,
+                  sample_rows: int = 4096, iters: int = 8,
+                  seed: int = 5) -> np.ndarray:
+    """k-means-lite on a driver-side sample (the centroid table is tiny and
+    broadcast everywhere; fitting it centrally is the standard IVF shape)."""
+    sample = ds.select_columns([vec_col]).limit(sample_rows).to_pandas()
+    x = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for ci in range(len(cent)):
+            members = x[assign == ci]
+            if len(members):
+                cent[ci] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def add_ivf_partition(ds, centroids: np.ndarray, vec_col: str,
+                      out_col: str = "ivf_part"):
+    """Assign each row to its nearest centroid (broadcast matmul)."""
+    import ray
+
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cent = ray.get(cent_ref)
+        m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        df = df.copy()
+        df[out_col] = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+        return df
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def knn_topk_ivf(ds, queries: dict, centroids: np.ndarray, *, vec_col: str,
+                 id_col: str, k: int = 5, nprobe: int = 4,
+                 batch_size: int = 2048) -> pd.DataFrame:
+    """IVF-pruned top-k: probe only the nprobe nearest partitions per query.
+
+    Recall < 1.0 by design; the exactness knob is nprobe."""
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    qmat = _normalize(np.asarray(queries["mat"], dtype=np.float64))
+    probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    parts_needed = sorted({int(p) for row in probe for p in row})
+
+    part_ds = add_ivf_partition(ds, centroids, vec_col)
+    pruned = part_ds.filter(
+        lambda r: r["ivf_part"] in parts_needed)
+    return knn_topk(pruned, queries, vec_col=vec_col, id_col=id_col, k=k,
+                    batch_size=batch_size)

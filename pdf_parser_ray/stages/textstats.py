@@ -1,0 +1,125 @@
+"""Text-analysis stage for training-data pipelines: language ID, quality
+signals, token counts, document fingerprints.
+
+All transforms are vectorized pandas/numpy inside ``map_batches`` — no
+per-row Python in the hot path. Every rule is deliberately expressible in
+ANSI SQL so the DuckDB oracle can verify it bit-for-bit (see
+``__ray_entry__.oracle_sql``): whitespace tokens via ``\\S+`` counts, the
+n-gram language heuristic via per-language marker-word counts with a fixed
+priority order, fingerprints via md5 over whitespace-normalized text.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+# Marker-word regexes per language (word-bounded, case-insensitive via
+# pre-lowering). Must stay in sync with the SQL in __ray_entry__.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|with|for)\b",
+    "es": r"\b(el|la|los|las|una?|para)\b",
+    "de": r"\b(der|die|das|und|mit|für)\b",
+    "fr": r"\b(le|la|les|des|une?|avec)\b",
+}
+LANG_PRIORITY = ["en", "es", "de", "fr"]
+CJK_RE = r"[一-鿿]"
+
+TOKEN_RE = r"\S+"
+# BPE-ish word/number/punct split (GPT-2-style shape, simplified to stay
+# RE2-compatible for the DuckDB oracle).
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_WS = re.compile(r"\s+")
+
+
+def add_text_stats(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Append token/char/punct/quality columns. Vectorized."""
+    text = df[text_col].fillna("")
+    df = df.copy()
+    df["token_cnt"] = text.str.count(TOKEN_RE).astype("int64")
+    df["bpe_cnt"] = text.str.count(BPE_RE).astype("int64")
+    df["char_cnt"] = text.str.len().astype("int64")
+    df["alpha_cnt"] = text.str.count(r"[A-Za-z]").astype("int64")
+    df["digit_cnt"] = text.str.count(r"[0-9]").astype("int64")
+    df["punct_cnt"] = text.str.count(r"[^A-Za-z0-9_\s]").astype("int64")
+    df["stop_cnt"] = text.str.lower().str.count(LANG_MARKERS["en"]).astype("int64")
+    # quality gate: integer-friendly so the oracle hash matches exactly
+    df["is_quality"] = (
+        (df["token_cnt"] >= 20)
+        & (df["char_cnt"] >= 100)
+        & (df["char_cnt"] <= 20000)
+        & (df["punct_cnt"] * 4 <= df["token_cnt"] * 3)
+    ).astype("int64")
+    return df
+
+
+def add_lang_pred(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Heuristic language ID: CJK chars → zh, else argmax of marker-word
+    counts with fixed priority (ties go to the earlier language; all-zero →
+    'und')."""
+    text = df[text_col].fillna("").str.lower()
+    df = df.copy()
+    scores = {lang: text.str.count(pat) for lang, pat in LANG_MARKERS.items()}
+    best = pd.Series("und", index=df.index)
+    best_score = pd.Series(0, index=df.index)
+    for lang in reversed(LANG_PRIORITY):  # earlier langs overwrite on ties
+        s = scores[lang]
+        take = s >= best_score
+        # strict compare for later langs is implied by iterating reversed
+        best = best.where(~take | (s == 0), lang)
+        best_score = best_score.where(~take, s)
+    best = best.where(best_score > 0, "und")
+    has_cjk = text.str.contains(CJK_RE, regex=True)
+    df["lang_pred"] = best.where(~has_cjk, "zh")
+    return df
+
+
+def normalize_for_fp(s: str) -> str:
+    return _WS.sub(" ", s).strip().lower()
+
+
+def add_fingerprint(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """md5 over whitespace-normalized lowercased text (exact-dedup key).
+
+    Matches DuckDB ``md5(lower(trim(regexp_replace(text,'\\s+',' ','g'))))``.
+    """
+    df = df.copy()
+    norm = (df[text_col].fillna("")
+            .str.replace(r"\s+", " ", regex=True).str.strip().str.lower())
+    df["fingerprint"] = [hashlib.md5(t.encode()).hexdigest() for t in norm]
+    return df
+
+
+def rolling_fingerprint(text: str, window: int = 16) -> int:
+    """Deterministic 63-bit rolling (Rabin-Karp-style) document fingerprint;
+    cheap per-doc scan used for container-level identity at ingest."""
+    h = 0
+    mod = (1 << 61) - 1
+    out = 0
+    for i, ch in enumerate(text):
+        h = (h * 1099511628211 + ord(ch)) % mod
+        if i >= window:
+            out ^= h
+    return (out or h) & ((1 << 63) - 1)
+
+
+class TextStats:
+    """map_batches UDF adding all text-analysis columns in one pass."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = add_text_stats(df, self.text_col)
+        df = add_lang_pred(df, self.text_col)
+        df = add_fingerprint(df, self.text_col)
+        return df
+
+
+def text_stats_dataset(ds, text_col: str = "text", batch_size: int = 1024):
+    return ds.map_batches(TextStats(text_col), batch_format="pandas",
+                          batch_size=batch_size)
