@@ -1,0 +1,168 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Default: full run at sf0.1 printing ONE JSON line
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "extract_docs_per_sec": ...}
+
+``--scaling``: runs the headline extraction pipeline in two FRESH
+processes (num_cpus=8 then num_cpus=32) over the same staged corpus and
+reports both throughputs plus efficiency = t8_rate×4 vs t32_rate
+(the sandbox substitute for N→4N cluster scaling; BASELINE.md).
+
+Owns its Ray session (the only scripts allowed to: bench, tests, CLI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Corpus sizing: enough SEC filings to dominate wall time and exercise
+# every kernel; sharded so the read parallelizes (≥4 blocks per core).
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "3000"))
+
+
+def stage_corpus(tmp: str, n_docs: int, shards: int) -> tuple[str, str]:
+    from pdf_parser_ray.sources.corpus import write_corpus
+    return write_corpus(tmp, n_docs=n_docs, seed=7, shards=shards)
+
+
+def run_extract(corpus_dir: str, facts_path: str, out_dir: str,
+                concurrency) -> dict:
+    """The headline pipeline: read → dedup → extract → consistency →
+    partitioned write. Returns timing + row count."""
+    import pyarrow.parquet as pq
+
+    from pdf_parser_ray.pipelines.flagship import run_flagship
+
+    t0 = time.time()
+    summary = run_flagship(corpus_dir, facts_path, out_dir=out_dir,
+                           n_buckets=64, concurrency=concurrency)
+    dt = time.time() - t0
+    total_bytes = 0
+    for root, _, files in os.walk(corpus_dir):
+        total_bytes += sum(os.path.getsize(os.path.join(root, f))
+                           for f in files)
+    return {"sec": round(dt, 2), "rows": summary["rows"],
+            "docs_per_sec": round(summary["rows"] / dt, 2),
+            "input_mb_per_sec": round(total_bytes / 1e6 / dt, 2)}
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as E
+    times: dict[str, float] = {}
+    for name, fn in E.queries().items():
+        t0 = time.time()
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        _ = len(res)
+        times[name] = round(time.time() - t0, 2)
+    return times
+
+
+def main_full() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR", log_to_driver=False)
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bench_corpus_")
+    try:
+        corpus_dir, facts_path = stage_corpus(tmp, BENCH_DOCS, shards=128)
+        extract = run_extract(corpus_dir, facts_path,
+                              os.path.join(tmp, "out"),
+                              concurrency=(1, NUM_CPUS))
+        queries = run_queries(SF_DIR)
+        total = extract["sec"] + sum(queries.values())
+        print(json.dumps({
+            "metric": "extraction+query wall time",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": {"extract_flagship": extract["sec"], **queries},
+            "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            "num_cpus": NUM_CPUS,
+            "extract_docs_per_sec": extract["docs_per_sec"],
+            "extract_input_mb_per_sec": extract["input_mb_per_sec"],
+            "extract_rows": extract["rows"],
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.shutdown()
+
+
+def _scaling_child(corpus_dir: str, facts_path: str, out_dir: str,
+                   num_cpus: int) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR", log_to_driver=False)
+    res = run_extract(corpus_dir, facts_path, out_dir,
+                      concurrency=(1, num_cpus))
+    print("SCALING_RESULT " + json.dumps({"num_cpus": num_cpus, **res}))
+    ray.shutdown()
+
+
+def main_scaling() -> None:
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bench_scaling_")
+    try:
+        corpus_dir, facts_path = stage_corpus(tmp, BENCH_DOCS, shards=128)
+        results = {}
+        for n in (8, 32):
+            out_dir = os.path.join(tmp, f"out{n}")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-child",
+                 corpus_dir, facts_path, out_dir, str(n)],
+                capture_output=True, text=True, cwd=REPO,
+                env={**os.environ, "PYTHONPATH": REPO}, timeout=3600)
+            for line in proc.stdout.splitlines():
+                if line.startswith("SCALING_RESULT "):
+                    results[n] = json.loads(line.split(" ", 1)[1])
+            if n not in results:
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+                raise RuntimeError(f"scaling child num_cpus={n} failed")
+        eff = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
+        print(json.dumps({
+            "metric": "scaling efficiency 8→32 cpus",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "queries": {"docs_per_sec@8": results[8]["docs_per_sec"],
+                        "docs_per_sec@32": results[32]["docs_per_sec"],
+                        "sec@8": results[8]["sec"],
+                        "sec@32": results[32]["sec"]},
+            "sf": "synthetic-corpus",
+            "num_cpus": 32,
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-child", nargs=4, metavar=("CORPUS", "FACTS",
+                                                         "OUT", "CPUS"))
+    args = ap.parse_args()
+    if args.scaling_child:
+        _scaling_child(args.scaling_child[0], args.scaling_child[1],
+                       args.scaling_child[2], int(args.scaling_child[3]))
+    elif args.scaling:
+        main_scaling()
+    else:
+        main_full()

@@ -186,7 +186,11 @@ def tokenize_pages(payload: bytes | str, repair: bool = True) -> list[Page]:
         else:
             if tag == "a":
                 link_depth = max(0, link_depth - 1)
+            # flush pending text BEFORE leaving a boilerplate container —
+            # otherwise the block is recorded at the outer depth and the
+            # classifier sees footer/nav text as content
             if tag in _BOILER_TAGS:
+                flush_line()
                 boiler_depth = max(0, boiler_depth - 1)
             if tag == "table":
                 flush_row()

@@ -1,0 +1,101 @@
+"""Per-document pipeline tests over the synthetic corpus (no Ray) — the
+golden layer: exact content assertions on extracted markdown, mirroring the
+reference's tests/test_golden.py strategy."""
+
+import json
+
+import pytest
+
+from pdf_parser_ray.kernels.docpipe import process_document
+from pdf_parser_ray.kernels.facts import FactsStore
+from pdf_parser_ray.kernels.taxonomy import LabelNormalizer
+from pdf_parser_ray.sources.corpus import synth_corpus
+
+
+@pytest.fixture(scope="module")
+def extracted():
+    rows, facts_rows = synth_corpus(40, seed=7)
+    norm = LabelNormalizer()
+    fs = FactsStore(facts_rows)
+    recs = [process_document(r["url"], r["html"], str(r["warc_ts"]), norm, fs)
+            for r in rows]
+    return rows, recs
+
+
+def test_statuses(extracted):
+    _, recs = extracted
+    kinds = {(r["status"], r["doc_kind"]) for r in recs}
+    assert ("ok", "sec") in kinds
+    assert ("ok", "web") in kinds
+    assert all(not r["status"].startswith("error") for r in recs), \
+        [(r["url"], r["status"]) for r in recs if r["status"].startswith("error")]
+
+
+def test_sec_document_structure(extracted):
+    _, recs = extracted
+    sec = next(r for r in recs if r["doc_kind"] == "sec")
+    text = sec["extracted_text"]
+    assert text.startswith("---\n")          # YAML front matter
+    assert "## Cover Page" in text
+    assert "| Filing Type | 10-" in text
+    assert "## Consolidated Balance Sheets" in text
+    assert "## Notes to Financial Statements" in text
+    assert "## Management's Discussion and Analysis" in text
+    meta = json.loads(sec["meta_json"])
+    assert meta["company"]
+    assert meta["period_end"].count("-") == 2
+    assert meta["parsed_at"]  # derived from warc_ts, never wall clock
+
+
+def test_spans_point_into_text(extracted):
+    _, recs = extracted
+    for r in recs:
+        if r["status"] != "ok":
+            continue
+        for s in r["spans"]:
+            assert 0 <= s["start"] <= s["end"] <= len(r["extracted_text"])
+        # spans are non-overlapping and ordered
+        offs = [(s["start"], s["end"]) for s in r["spans"]]
+        assert offs == sorted(offs)
+
+
+def test_extraction_deterministic(extracted):
+    rows, recs = extracted
+    norm = LabelNormalizer()
+    r0 = rows[0]
+    again = process_document(r0["url"], r0["html"], str(r0["warc_ts"]), norm)
+    base = next(r for r in recs if r["url"] == r0["url"])
+    # facts lookup off in `again`, so compare only the deterministic parse
+    assert again["doc_kind"] == base["doc_kind"]
+    assert again["n_pages"] == base["n_pages"]
+
+
+def test_mappings_and_validation(extracted):
+    _, recs = extracted
+    sec_recs = [r for r in recs if r["doc_kind"] == "sec"]
+    with_mappings = [r for r in sec_recs if r["mappings"]]
+    assert with_mappings, "no SEC doc produced label mappings"
+    labels = {m["label"]: m["canonical"] for r in with_mappings
+              for m in r["mappings"]}
+    assert labels.get("Total assets") == "Total Assets"
+    # validation section rendered with PASS for value-consistent filings
+    ok_with_checks = [r for r in sec_recs if "## Validation" in r["extracted_text"]]
+    assert ok_with_checks
+    assert any("PASS" in r["extracted_text"] for r in ok_with_checks)
+
+
+def test_web_page_boilerplate_stripped(extracted):
+    _, recs = extracted
+    web = next(r for r in recs if r["doc_kind"] == "web")
+    text = web["extracted_text"]
+    assert "About" not in text          # footer link stripped
+    assert "related" not in text        # aside stripped
+    assert len(text) > 100              # article body retained
+
+
+def test_hostile_payloads():
+    norm = LabelNormalizer()
+    for payload in (b"", b"\xff\xfe garbage \x9c", b"<div>" * 3000,
+                    b"<html><body>plain</body></html>"):
+        rec = process_document("https://x/t", payload, "2025-01-01", norm)
+        assert rec["status"].startswith(("ok", "skipped", "error"))

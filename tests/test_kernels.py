@@ -1,0 +1,154 @@
+"""Kernel unit tests — mirror the reference's unit layer (SURVEY.md §5):
+numeric parsing, cover-field extraction, taxonomy matching, metadata
+inference, validation checks, text repair, table collapse."""
+
+import random
+
+from pdf_parser_ray.kernels import checks as C
+from pdf_parser_ray.kernels import cover as COV
+from pdf_parser_ray.kernels import finmeta as FM
+from pdf_parser_ray.kernels import tablekit as TK
+from pdf_parser_ray.kernels import textfix as TF
+from pdf_parser_ray.kernels.html_tokenizer import detect_scanned, tokenize_pages
+from pdf_parser_ray.kernels.taxonomy import LabelNormalizer
+
+SAMPLE_COVER = """UNITED STATES SECURITIES AND EXCHANGE COMMISSION
+FORM 10-Q
+For the quarterly period ended June 30, 2024
+Commission File Number: 001-12345
+Acme Corp
+(Exact name of registrant as specified in its charter)
+Central Index Key: 0001234567
+1,000,000 shares of common stock outstanding as of June 30, 2024
+Title of Each Class Trading Symbol Name of Each Exchange
+Common Stock, $0.001 par value ACME New York Stock Exchange
+"""
+
+
+def test_parse_numeric():
+    assert C.parse_numeric("$ 1,234") == 1234.0
+    assert C.parse_numeric("(13,756)") == -13756.0
+    assert C.parse_numeric("—") is None
+    assert C.parse_numeric("") is None
+    assert C.parse_numeric("1,234.56") == 1234.56
+
+
+def test_cover_fields():
+    fields = dict(COV.extract_cover_fields(SAMPLE_COVER))
+    assert fields["Filing Type"] == "10-Q"
+    assert fields["Company"] == "Acme Corp"
+    assert fields["Period"] == "June 30, 2024"
+    assert fields["Commission File Number"] == "001-12345"
+    assert fields["CIK"] == "0001234567"
+    assert fields["Ticker"] == "ACME"
+    assert "1,000,000" in fields["Shares Outstanding"]
+
+
+def test_taxonomy_normalizer():
+    n = LabelNormalizer()
+    cases = {"Net revenues": "Revenue", "Cost of sales": "Cost of Revenue",
+             "Net income": "Net Income", "Total assets": "Total Assets",
+             "Total liabilities": "Total Liabilities",
+             "Total stockholders' equity": "Total Stockholders' Equity"}
+    for label, canon in cases.items():
+        assert n.match(label).canonical == canon, label
+
+
+def test_taxonomy_fuzzy():
+    n = LabelNormalizer()
+    m = n.match("Net revenuess")  # typo → fuzzy tier
+    assert m.canonical == "Revenue"
+    assert m.confidence < 1.0
+
+
+def test_metadata_inference():
+    assert FM.infer_period_type("10-K", "December 31, 2024") == "FY"
+    assert FM.infer_period_type("10-Q", "June 30, 2024") == "Q2"
+    assert FM.infer_scale("(in thousands, except per share data)") == "thousands"
+    assert FM.infer_scale("in USD $ millions") == "millions"
+    iso, year = FM.parse_period_date("June 30, 2024")
+    assert iso == "2024-06-30" and year == 2024
+
+
+def test_balance_sheet_check():
+    ok = {"Total Assets": [5000.0], "Total Liabilities": [3000.0],
+          "Total Stockholders' Equity": [2000.0]}
+    res = C.check_balance_sheet(ok)
+    assert any(r.status == "PASS" for r in res)
+    bad = {"Total Assets": [5000.0], "Total Liabilities": [3000.0],
+           "Total Stockholders' Equity": [1000.0]}
+    res = C.check_balance_sheet(bad)
+    assert any(r.status in ("WARN", "FAIL") for r in res)
+
+
+def test_textfix_collapse():
+    assert TF.collapse_glyph_runs("YYYeeeaaarrr") == "Year"
+    assert TF.collapse_glyph_runs("Normal text stays") == "Normal text stays"
+
+
+def test_densify_row():
+    row = ["Cash", "$", "", "1,234", "", "$", "", "(13,756", ")"]
+    dense = TK.densify_row(row)
+    assert dense[0] == "Cash"
+    assert "$ 1,234" in dense
+    assert any("(13,756)" in c for c in dense)
+
+
+def test_prose_table_filter():
+    # soft path needs ≥6 columns (reference: programmatic.py:713-775)
+    sentence = ("the company operates across many different regions and "
+                "provides professional services to customers worldwide "
+                "through dedicated local account teams").split()
+    # 10 words per row, padded to 10 columns → joins to >60 chars, >8 words
+    prose = [sentence[:10], sentence[5:15], sentence[8:18] + [""] * 2] * 3
+    assert TK.is_prose_table(prose)
+    numeric = [["Revenue", "1,234", "2,345"], ["Cost", "600", "700"],
+               ["Net", "634", "1,645"]]
+    assert not TK.is_prose_table(numeric)
+
+
+def test_tokenizer_and_scanned():
+    html = b"<html><body><section class='page'><p>Hello world</p></section>" \
+           b"<section class='page'><p>Second page text here</p></section></body></html>"
+    pages = tokenize_pages(html)
+    assert len(pages) == 2
+    assert "Hello world" in pages[0].text
+    empty = tokenize_pages(b"<html><body><section class='page'><p></p>"
+                           b"</section></body></html>")
+    assert detect_scanned(empty)
+
+
+def test_corpus_deterministic():
+    from pdf_parser_ray.sources.corpus import synth_corpus
+    r1, f1 = synth_corpus(30, seed=9)
+    r2, f2 = synth_corpus(30, seed=9)
+    assert [r["html"] for r in r1] == [r["html"] for r in r2]
+    assert f1 == f2
+    r3, _ = synth_corpus(30, seed=10)
+    assert [r["html"] for r in r1] != [r["html"] for r in r3]
+
+
+def test_dedup_hashing():
+    from pdf_parser_ray.stages import dedup as D
+    rng = random.Random(3)
+    words = [f"w{i}" for i in range(50)]
+    text = " ".join(rng.choice(words) for _ in range(120))
+    near = text + " tail"
+    far = " ".join(rng.choice(words) for _ in range(120))
+    a, b = D._perm_params(64)
+    s1 = D.minhash_signature(D.shingle_hashes(text), a, b)
+    s2 = D.minhash_signature(D.shingle_hashes(near), a, b)
+    s3 = D.minhash_signature(D.shingle_hashes(far), a, b)
+    assert (s1 == s2).mean() > 0.8
+    assert (s1 == s3).mean() < 0.5
+    assert bin(D.simhash64(text) ^ D.simhash64(near)).count("1") <= 6
+    assert D.ngram_jaccard(text, near) > 0.9
+    assert D.ngram_jaccard(text, far) < 0.5
+
+
+def test_union_find():
+    from pdf_parser_ray.stages.dedup import cluster_pairs
+    rep = cluster_pairs([(1, 2), (2, 3), (5, 6)], [1, 2, 3, 4, 5, 6])
+    assert rep[1] == rep[2] == rep[3] == 1
+    assert rep[4] == 4
+    assert rep[5] == rep[6] == 5
