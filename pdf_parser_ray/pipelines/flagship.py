@@ -43,18 +43,58 @@ def split_oversized(ds, threshold: int = SKEW_SPLIT_BYTES):
 
 
 def dedup_by_url(ds):
-    """Exact dedup on url: keep the newest capture (max warc_ts) per url.
+    """Exact dedup on url: keep the newest capture (max warc_ts) per url —
+    WITHOUT shuffling payloads.
 
-    A hash-shuffle groupby on the partitioning key — the same key the
-    output bucketing uses, so downstream stages inherit sane partitioning.
+    The naive ``groupby(url)`` moves every html payload through an
+    all-to-all; here only the ``(url, warc_ts)`` projection shuffles. The
+    duplicated-url set is a small fraction of any real corpus (and the
+    decision table is only for those urls), so it broadcasts; each batch
+    then filters locally. If a pathological corpus made the duplicate set
+    huge, the fallback is the payload shuffle on *just the duplicate rows*
+    — still never the whole corpus.
     """
-    def first(group: pa.Table) -> pa.Table:
-        if group.num_rows == 1:
-            return group
-        order = pc.sort_indices(group, sort_keys=[("warc_ts", "descending")])
-        return group.take(order[:1])
+    import ray
 
-    return ds.groupby("url").map_groups(first, batch_format="pyarrow")
+    # Partial+final combine (vectorized pandas per block, tiny driver-side
+    # finish) — a groupby().map_groups here costs one Python call per url.
+    empty_partial = pa.table({"url": pa.array([], type=pa.string()),
+                              "max": pa.array([], type=pa.string()),
+                              "count": pa.array([], type=pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "url" not in batch.schema.names:
+            return empty_partial
+        df = batch.select(["url", "warc_ts"]).to_pandas()
+        df["warc_ts"] = df["warc_ts"].astype(str)
+        g = df.groupby("url", sort=False)["warc_ts"]
+        out = g.agg(["max", "count"]).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = (ds.select_columns(["url", "warc_ts"])
+                .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if partials.empty or "url" not in partials.columns:
+        return ds
+    agg = partials.groupby("url", sort=False).agg(
+        ts=("max", "max"), n=("count", "sum")).reset_index()
+    dups = agg[agg["n"] > 1]
+    if dups.empty:
+        return ds
+    keep_ts = {u: str(t) for u, t in zip(dups["url"], dups["ts"])}
+    # rows tied at the max warc_ts for one url all survive (the projection
+    # cannot distinguish identical captures; content hash would — and exact
+    # content dedup downstream catches them anyway)
+    keep_ref = ray.put(keep_ts)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        kmap = ray.get(keep_ref)
+        urls = batch["url"].to_pylist()
+        ts = batch["warc_ts"].to_pylist()
+        mask = [u not in kmap or str(t) == kmap[u]
+                for u, t in zip(urls, ts)]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def run_flagship(corpus_path, facts_path: str | None = None,
@@ -68,21 +108,29 @@ def run_flagship(corpus_path, facts_path: str | None = None,
     partitioned output (resuming past completed buckets) and returns the
     write summary dict.
     """
+    import ray
     import ray.data
 
-    ds = (corpus_path if hasattr(corpus_path, "map_batches")
-          else ray.data.read_parquet(corpus_path))
+    if hasattr(corpus_path, "map_batches"):
+        ds = corpus_path
+    else:
+        # ≥4 blocks per core so the actor pool and the streaming executor
+        # always have backlog (42 auto-coalesced blocks starved a 32-actor
+        # pool in profiling; SURVEY.md §4.3)
+        n_blocks = max(64, int(ray.cluster_resources().get("CPU", 8)) * 4)
+        ds = ray.data.read_parquet(corpus_path, override_num_blocks=n_blocks)
 
     if out_dir:
         ds = MAN.resume_filter(ds, out_dir, n_buckets)
     if dedup:
         ds = dedup_by_url(ds)
 
-    # Autoscaling (1, N) pools: two fixed-size pools would reserve every
-    # CPU and starve the upstream read tasks — a resource deadlock that
-    # presents as a silent hang on a small node.
+    # Pool sizing: a high minimum so the pool ramps immediately (the
+    # autoscaler grows too slowly for short jobs — profiling showed a
+    # (1, 32) pool doing ~5 actors of work), but never the whole node: a
+    # few CPUs stay free for reads/unions or the job deadlocks silently.
     if isinstance(concurrency, int):
-        concurrency = (1, concurrency)
+        concurrency = (max(1, concurrency - 4), concurrency)
     normal, big = split_oversized(ds, skew_threshold)
     extracted = extract_dataset(normal, facts_path, batch_size=batch_size,
                                 concurrency=concurrency)

@@ -606,12 +606,21 @@ def synth_corpus(n_docs: int = 200, seed: int = 7,
                 periods = [f"{year - 1}-{iso_month}", period_iso]
                 mapping = {
                     "income_statement": [("Revenue", v["revenue"]),
-                                         ("Net Income", v["ni"]),
-                                         ("Gross Profit", v["gross"])],
-                    "balance_sheet": [("Total Assets", v["ta"]),
+                                         ("Cost of Revenue", v["cost"]),
+                                         ("Gross Profit", v["gross"]),
+                                         ("Operating Income", v["opinc"]),
+                                         ("Income Tax Expense", v["tax"]),
+                                         ("Net Income", v["ni"])],
+                    "balance_sheet": [("Cash & Cash Equivalents", v["cash"]),
+                                      ("Total Current Assets", v["tca"]),
+                                      ("Total Assets", v["ta"]),
+                                      ("Total Current Liabilities", v["tcl"]),
                                       ("Total Liabilities", v["tl"]),
                                       ("Total Stockholders' Equity", v["te"])],
                     "cash_flow": [("Net Cash from Operations", v["cfo"]),
+                                  ("Net Cash from Investing", v["cfi"]),
+                                  ("Net Cash from Financing", v["cff"]),
+                                  ("Depreciation & Amortization", v["dna"]),
                                   ("Ending Cash", v["end"])],
                 }
                 for st, pairs in mapping.items():

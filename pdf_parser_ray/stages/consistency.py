@@ -58,23 +58,35 @@ def first_wins_mappings(extracted_ds) -> dict[tuple[str, str], str]:
         .map_batches(_explode_mappings, batch_format="pyarrow")
     )
 
-    def reduce_group(group: pa.Table) -> pa.Table:
-        rows = group.to_pylist()
-        rows.sort(key=lambda r: (r["period_end"], r["url"]))
-        best = ""
-        for r in rows:
-            if r["canonical"]:
-                best = r["canonical"]
-                break
-        first = rows[0]
-        return pa.table({"family_key": [first["family_key"]],
-                         "label": [first["label"]],
-                         "canonical": [best]})
+    # Partial+final combine instead of groupby().map_groups: the per-group
+    # Python callback costs ~0.25 ms × (families × labels) groups, which
+    # dominated profiling. The partial is a vectorized pandas groupby per
+    # block; the final combine sees one row per (block × key) — tiny.
+    def partial(batch: pa.Table):
+        import pandas as pd
+        df = batch.to_pandas()
+        if batch.num_rows == 0 or "canonical" not in df.columns:
+            df = pd.DataFrame({"family_key": [], "label": [],
+                               "canonical": [], "period_end": [], "url": []})
+        df = df[df["canonical"] != ""]
+        if df.empty:
+            return pa.table({"family_key": pa.array([], type=pa.string()),
+                             "label": pa.array([], type=pa.string()),
+                             "canonical": pa.array([], type=pa.string()),
+                             "order_key": pa.array([], type=pa.string())})
+        df["order_key"] = df["period_end"] + "\x00" + df["url"]
+        idx = df.groupby(["family_key", "label"], sort=False)["order_key"].idxmin()
+        out = df.loc[idx, ["family_key", "label", "canonical", "order_key"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    resolved = pairs.groupby(["family_key", "label"]).map_groups(
-        reduce_group, batch_format="pyarrow")
-    return {(r["family_key"], r["label"]): r["canonical"]
-            for r in resolved.take_all()}
+    import pandas as pd
+    partials = pairs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return {}
+    idx = partials.groupby(["family_key", "label"], sort=False)["order_key"].idxmin()
+    final = partials.loc[idx]
+    return {(r.family_key, r.label): r.canonical
+            for r in final.itertuples()}
 
 
 def apply_consistent_mappings(extracted_ds, resolved: dict[tuple[str, str], str]):
@@ -117,22 +129,40 @@ def assign_filing_sequence(extracted_ds):
     """Add a ``filing_sequence`` column: rank by period_end (oldest=1)
     within family, ties broken by url; 0 for non-filing rows.
 
-    Grouped rank — a per-family sort, never a global sort. The shuffle
-    payload is the full record here only because the result must rejoin the
-    text; at 100 TB the cheaper plan is rank on the (family, url,
-    period_end) projection + equi-join back, but family groups are tiny
-    (one issuer's filings) so co-locating whole rows per family is bounded.
+    The rank is computed on the tiny ``(family_key, url, period_end,
+    doc_kind)`` projection — the extracted text never shuffles. The
+    resulting url→sequence map ships back via ``ray.put`` and applies in a
+    plain ``map_batches``. At 10^12 docs a driver-side map is impossible;
+    the scale path is a bucket-wise merge (rank output partitioned by the
+    same url-hash as the records, joined per bucket), which this layout
+    already supports because both sides key on url.
     """
+    import ray
+
     def rank(group: pa.Table) -> pa.Table:
         rows = list(zip(group["url"].to_pylist(),
                         group["period_end"].to_pylist(),
                         group["doc_kind"].to_pylist()))
         filings = sorted((r for r in rows if r[2] == "sec" and r[1]),
                          key=lambda r: (r[1], r[0]))
-        seq = {url: i + 1 for i, (url, _, _) in enumerate(filings)}
-        col = pa.array([seq.get(u, 0) for u in group["url"].to_pylist()],
-                       type=pa.int64())
-        return group.append_column("filing_sequence", col)
+        return pa.table({
+            "url": [u for u, _, _ in filings],
+            "seq": pa.array(range(1, len(filings) + 1), type=pa.int64()),
+        })
 
-    return extracted_ds.groupby("family_key").map_groups(
-        rank, batch_format="pyarrow")
+    seq_rows = (extracted_ds
+                .select_columns(["family_key", "url", "period_end", "doc_kind"])
+                .repartition(16)  # tiny projection: cap shuffle task count
+                .groupby("family_key")
+                .map_groups(rank, batch_format="pyarrow")
+                .take_all())
+    seq_map = {r["url"]: r["seq"] for r in seq_rows}
+    seq_ref = ray.put(seq_map)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        smap = ray.get(seq_ref)
+        col = pa.array([smap.get(u, 0) for u in batch["url"].to_pylist()],
+                       type=pa.int64())
+        return batch.append_column("filing_sequence", col)
+
+    return extracted_ds.map_batches(apply, batch_format="pyarrow")

@@ -73,18 +73,49 @@ class ExtractDocuments:
         return pa.Table.from_pylist(recs, schema=RECORD_SCHEMA)
 
 
+# Per-worker-process state cache for task-mode extraction. Ray reuses
+# worker processes, so the taxonomy/facts load happens once per worker —
+# the same amortization an actor gives, without reserving CPUs.
+_TASK_STATE: dict[str, ExtractDocuments] = {}
+
+
+def _extract_batch(batch: pa.Table, facts_path: str | None = None) -> pa.Table:
+    key = facts_path or ""
+    state = _TASK_STATE.get(key)
+    if state is None:
+        state = _TASK_STATE[key] = ExtractDocuments(facts_path)
+    return state(batch)
+
+
 def extract_dataset(ds, facts_path: str | None = None, *,
                     batch_size: int = 16, concurrency=None,
-                    num_cpus: float = 1.0):
-    """Wire the extraction actor pool onto a corpus Dataset."""
-    kwargs = {}
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+                    num_cpus: float = 1.0, use_actors: bool = False):
+    """Wire the extraction stage onto a corpus Dataset.
+
+    Default is a TASK pool with per-worker cached state: task maps fuse
+    with the upstream read into one operator and autoscale to every free
+    CPU. A fixed actor pool reserves CPUs and starves its own feeder tasks
+    (profiled: a (28,32) pool ran at ~8 effective CPUs because the read
+    stage had 4 CPUs left). Use ``use_actors=True`` for genuinely heavy
+    state (a model that takes seconds to load) where per-worker duplication
+    or restart cost matters more than fusion.
+    """
+    if use_actors:
+        kwargs = {}
+        if concurrency is not None:
+            kwargs["concurrency"] = concurrency
+        return ds.map_batches(
+            ExtractDocuments,
+            fn_constructor_kwargs={"facts_path": facts_path},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=num_cpus,
+            **kwargs,
+        )
     return ds.map_batches(
-        ExtractDocuments,
-        fn_constructor_kwargs={"facts_path": facts_path},
+        _extract_batch,
+        fn_kwargs={"facts_path": facts_path},
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=num_cpus,
-        **kwargs,
     )
