@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q06_first_order": Q.q06_first_order,
         "q07_top_orders": Q.q07_top_orders,
         "q08_events_props": Q.q08_events_props,
+        "q09_events_window": Q.q09_events_window,
         # text analysis
         "q10_doc_stats": Q.q10_doc_stats,
         "q11_lang_pred": Q.q11_lang_pred,
@@ -113,6 +114,10 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
                    MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
             FROM events GROUP BY 1 ORDER BY 1""",
+        "q09_events_window": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         "q10_doc_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,
                    SUM({_TOKEN_CNT}) AS total_tokens,

@@ -98,11 +98,18 @@ def dedup_by_url(ds):
 
 
 def run_flagship(corpus_path, facts_path: str | None = None,
-                 out_dir: str | None = None, *, dedup: bool = True,
+                 out_dir: str | None = None, *, dedup: bool | str = True,
                  consistency: bool = True, concurrency=None,
                  batch_size: int = 16, n_buckets: int = 64,
                  skew_threshold: int = SKEW_SPLIT_BYTES):
     """Build (and optionally write) the flagship extraction Dataset.
+
+    ``dedup``: True/"post" drops duplicate-url captures *after* extraction
+    from the materialized records — no extra input pass, negligible wasted
+    compute when duplicates are rare (any crawl frontier). "pre" runs the
+    decision pass over the raw input first — pay one serial projection
+    read to skip extracting duplicates, worth it when the dup rate is
+    high. False disables.
 
     Returns the final Dataset when ``out_dir`` is None, else writes the
     partitioned output (resuming past completed buckets) and returns the
@@ -114,40 +121,43 @@ def run_flagship(corpus_path, facts_path: str | None = None,
     if hasattr(corpus_path, "map_batches"):
         ds = corpus_path
     else:
-        # ≥4 blocks per core so the actor pool and the streaming executor
-        # always have backlog (42 auto-coalesced blocks starved a 32-actor
-        # pool in profiling; SURVEY.md §4.3)
+        # ≥4 blocks per core so the streaming executor always has backlog
+        # (42 auto-coalesced blocks starved a 32-CPU run in profiling)
         n_blocks = max(64, int(ray.cluster_resources().get("CPU", 8)) * 4)
         ds = ray.data.read_parquet(corpus_path, override_num_blocks=n_blocks)
 
     if out_dir:
         ds = MAN.resume_filter(ds, out_dir, n_buckets)
-    if dedup:
+    if dedup == "pre":
         ds = dedup_by_url(ds)
 
-    # Pool sizing: a high minimum so the pool ramps immediately (the
-    # autoscaler grows too slowly for short jobs — profiling showed a
-    # (1, 32) pool doing ~5 actors of work), but never the whole node: a
-    # few CPUs stay free for reads/unions or the job deadlocks silently.
+    # (min, max) pools when actors are requested; never the whole node or
+    # the feeder read tasks starve (silent deadlock / 1/3 utilization)
     if isinstance(concurrency, int):
         concurrency = (max(1, concurrency - 4), concurrency)
     normal, big = split_oversized(ds, skew_threshold)
+    # num_cpus=0.7: mild oversubscription — the streaming executor leaves
+    # ~30% of cores idle at 1.0 cpu/task (measured 22/32 busy); extraction
+    # records are small enough that the extra in-flight tasks are free
     extracted = extract_dataset(normal, facts_path, batch_size=batch_size,
-                                concurrency=concurrency)
+                                concurrency=concurrency, num_cpus=0.7)
     big_extracted = extract_dataset(big, facts_path, batch_size=1,
                                     concurrency=(1, 2) if concurrency else None)
     extracted = extracted.union(big_extracted)
 
-    if consistency:
+    if consistency or dedup in (True, "post"):
         # The first-wins aggregate is a real barrier: it must see every
         # document's mappings before any backfill. Materialize the condensed
         # records once (they are far smaller than the input payloads; the
         # object store spills if needed) so extraction doesn't execute twice
-        # — once for the aggregate and again for the apply pass.
+        # — once for the aggregates and again for the apply pass.
         extracted = extracted.materialize()
+    if dedup in (True, "post"):
+        extracted = dedup_by_url(extracted)
+    if consistency:
         resolved = CONS.first_wins_mappings(extracted)
-        extracted = CONS.apply_consistent_mappings(extracted, resolved)
-        extracted = CONS.assign_filing_sequence(extracted)
+        seq_map = CONS.compute_sequence(extracted)
+        extracted = CONS.apply_all(extracted, resolved, seq_map)
 
     if out_dir:
         return MAN.write_partitioned(extracted, out_dir, n_buckets)

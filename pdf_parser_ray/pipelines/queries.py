@@ -131,6 +131,26 @@ def q08_events_props(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q09_events_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling daily window per event_type — the time-bucketed aggregate a
+    streaming pipeline needs; window assignment is a per-batch map (no
+    shuffle), only the per-(window, type) partials shuffle."""
+    ds = _read(sf_dir, "events").select_columns(["event_type", "ts", "value"])
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        return df[["event_type", "day", "value"]]
+
+    out = R.pre_aggregate(ds.map_batches(window, batch_format="pandas"),
+                          ["event_type", "day"],
+                          {"n": ("value", "count"),
+                           "total_value": ("value", "sum")})
+    out["n"] = out["n"].astype("int64")
+    out["total_value"] = out["total_value"].round(2)
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis over documents
 # ---------------------------------------------------------------------------

@@ -125,20 +125,17 @@ def apply_consistent_mappings(extracted_ds, resolved: dict[tuple[str, str], str]
     return extracted_ds.map_batches(fix, batch_format="pyarrow")
 
 
-def assign_filing_sequence(extracted_ds):
-    """Add a ``filing_sequence`` column: rank by period_end (oldest=1)
-    within family, ties broken by url; 0 for non-filing rows.
+def compute_sequence(extracted_ds) -> dict[str, int]:
+    """url → filing_sequence (rank by period_end within family, oldest=1,
+    ties broken by url; non-filings absent → 0 at apply time).
 
-    The rank is computed on the tiny ``(family_key, url, period_end,
-    doc_kind)`` projection — the extracted text never shuffles. The
-    resulting url→sequence map ships back via ``ray.put`` and applies in a
-    plain ``map_batches``. At 10^12 docs a driver-side map is impossible;
-    the scale path is a bucket-wise merge (rank output partitioned by the
-    same url-hash as the records, joined per bucket), which this layout
-    already supports because both sides key on url.
+    Computed on the tiny ``(family_key, url, period_end, doc_kind)``
+    projection — the extracted text never shuffles. At 10^12 docs a
+    driver-side map is impossible; the scale path is a bucket-wise merge
+    (rank output partitioned by the same url-hash as the records, joined
+    per bucket), which this layout already supports because both sides key
+    on url.
     """
-    import ray
-
     def rank(group: pa.Table) -> pa.Table:
         rows = list(zip(group["url"].to_pylist(),
                         group["period_end"].to_pylist(),
@@ -156,13 +153,50 @@ def assign_filing_sequence(extracted_ds):
                 .groupby("family_key")
                 .map_groups(rank, batch_format="pyarrow")
                 .take_all())
-    seq_map = {r["url"]: r["seq"] for r in seq_rows}
-    seq_ref = ray.put(seq_map)
+    return {r["url"]: r["seq"] for r in seq_rows}
 
-    def apply(batch: pa.Table) -> pa.Table:
-        smap = ray.get(seq_ref)
-        col = pa.array([smap.get(u, 0) for u in batch["url"].to_pylist()],
-                       type=pa.int64())
-        return batch.append_column("filing_sequence", col)
 
-    return extracted_ds.map_batches(apply, batch_format="pyarrow")
+def assign_filing_sequence(extracted_ds):
+    """compute_sequence + single-pass apply (kept for the stage API)."""
+    return apply_all(extracted_ds, None, compute_sequence(extracted_ds))
+
+
+def apply_all(extracted_ds, resolved: dict | None, seq_map: dict | None):
+    """ONE map pass applying both cross-document fix-ups: backfill empty
+    canonicals from the family-global mapping table and attach the
+    ``filing_sequence`` column. Each extra full-record pass re-serializes
+    the whole output; merging them measurably cuts the serial tail."""
+    import ray
+
+    resolved_ref = ray.put(resolved) if resolved else None
+    seq_ref = ray.put(seq_map) if seq_map is not None else None
+
+    def fix(batch: pa.Table) -> pa.Table:
+        if resolved_ref is not None:
+            table = ray.get(resolved_ref)
+            fams = batch["family_key"].to_pylist()
+            maps = batch["mappings"].to_pylist()
+            new_maps = []
+            changed = False
+            for fam, mp in zip(fams, maps):
+                row_new = []
+                for m in mp or []:
+                    canon = m["canonical"]
+                    if not canon:
+                        canon = table.get((fam, m["label"]), "")
+                        changed = changed or bool(canon)
+                    row_new.append({"label": m["label"], "canonical": canon})
+                new_maps.append(row_new)
+            if changed:
+                idx = batch.schema.get_field_index("mappings")
+                batch = batch.set_column(
+                    idx, batch.schema.field(idx),
+                    pa.array(new_maps, type=batch.schema.field(idx).type))
+        if seq_ref is not None:
+            smap = ray.get(seq_ref)
+            col = pa.array([smap.get(u, 0) for u in batch["url"].to_pylist()],
+                           type=pa.int64())
+            batch = batch.append_column("filing_sequence", col)
+        return batch
+
+    return extracted_ds.map_batches(fix, batch_format="pyarrow")

@@ -150,19 +150,31 @@ def cluster_pairs(pairs: list[tuple], ids: list) -> dict:
 
 
 def _pairs_from_buckets(bucket_ds, id_col: str) -> list[tuple]:
-    """groupby(band_key) → all (a<b) pairs inside multi-member buckets."""
-    def emit(group: pa.Table) -> pa.Table:
-        members = sorted(group[id_col].to_pylist())
-        a, b = [], []
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                a.append(members[i])
-                b.append(members[j])
-        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+    """All (a<b) pairs inside multi-member band buckets.
 
-    pairs_ds = bucket_ds.groupby("band_key").map_groups(
-        emit, batch_format="pyarrow")
-    return sorted({(r["a"], r["b"]) for r in pairs_ds.take_all()})
+    Vectorized: collect the (band_key, id) rows, keep only keys that occur
+    more than once (pandas ``duplicated`` — no per-group Python), and emit
+    pairs per surviving bucket (buckets are tiny by LSH design). A Ray
+    ``groupby(band_key).map_groups`` here costs one Python call per bucket
+    — O(docs × bands) calls — and dominated the near-dup wall time. At
+    10^12 docs the collect becomes a hash-partition by band_key with the
+    same duplicated-key filter per partition; the driver never needs the
+    non-colliding majority either way.
+    """
+    df = bucket_ds.to_pandas()
+    if df.empty:
+        return []
+    dup_mask = df.duplicated("band_key", keep=False)
+    df = df[dup_mask]
+    if df.empty:
+        return []
+    pairs: set = set()
+    for _, members in df.groupby("band_key", sort=False)[id_col]:
+        ids = sorted(members.tolist())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    return sorted(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -321,8 +333,17 @@ def ngram_jaccard_dedup(ds, text_col: str, id_col: str, *, k: int = 3,
              ds.select_columns([id_col, text_col])
              .map_batches(collect, batch_format="pandas").take_all()} \
         if pairs else {}
-    verified = [(x, y) for x, y in pairs
-                if ngram_jaccard(texts[x], texts[y], k) >= threshold]
+    # shingle each candidate id once, not once per pair
+    shingles = {i: set(shingle_hashes(t, k).tolist())
+                for i, t in texts.items()}
+
+    def jac(x, y) -> float:
+        sx, sy = shingles[x], shingles[y]
+        if not sx and not sy:
+            return 1.0
+        return len(sx & sy) / max(1, len(sx | sy))
+
+    verified = [(x, y) for x, y in pairs if jac(x, y) >= threshold]
     all_ids = clusters["id"].tolist()
     rep = cluster_pairs(verified, all_ids)
     return (pd.DataFrame({"id": list(rep), "rep": [rep[i] for i in rep]})
