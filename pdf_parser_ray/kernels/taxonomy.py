@@ -315,11 +315,24 @@ class LabelNormalizer:
     def __init__(self, taxonomy: dict | None = None, use_model: bool = True):
         self.alias_index = build_alias_index(taxonomy)
         self.model = LabelClassifier(taxonomy) if use_model else None
+        # per-instance memo: the same labels recur across every document of
+        # a corpus, and the fuzzy tier's O(aliases) SequenceMatcher scan
+        # dominated per-document profile time without it
+        self._memo: dict[str, MatchResult] = {}
 
     def match(self, label: str) -> MatchResult:
         if not label or not label.strip():
             return MatchResult(None, 0.0, "none")
         key = label.strip().lower()
+        cached = self._memo.get(key)
+        if cached is not None:
+            return cached
+        result = self._match_uncached(key, label)
+        if len(self._memo) < 100_000:  # bound actor memory
+            self._memo[key] = result
+        return result
+
+    def _match_uncached(self, key: str, label: str) -> MatchResult:
         hit = self.alias_index.get(key)
         if hit:
             return MatchResult(hit, 1.0, "exact")

@@ -70,6 +70,14 @@ def collapse_glyph_runs(line: str) -> str:
     """
     if len(line) < 6:
         return line
+    # cheap gate: factor-f collapse needs ≥70% of runs to be length-f
+    # multiples, so ≥~half the characters sit in doubled positions. One
+    # O(n) scan rejects normal text before the 14-factor attempt loop
+    # (which dominated per-document profile time otherwise).
+    doubled = sum(1 for i in range(len(line) - 1)
+                  if line[i] == line[i + 1] and line[i] != " ")
+    if doubled * 3 < len(line):
+        return line
     best: tuple[float, str] | None = None
     for factor in range(2, 16):
         if len(line) < factor * 3:

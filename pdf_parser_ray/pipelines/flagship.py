@@ -126,8 +126,9 @@ def run_flagship(corpus_path, facts_path: str | None = None,
         n_blocks = max(64, int(ray.cluster_resources().get("CPU", 8)) * 4)
         ds = ray.data.read_parquet(corpus_path, override_num_blocks=n_blocks)
 
+    fingerprint = MAN.input_fingerprint(corpus_path)
     if out_dir:
-        ds = MAN.resume_filter(ds, out_dir, n_buckets)
+        ds = MAN.resume_filter(ds, out_dir, n_buckets, fingerprint)
     if dedup == "pre":
         ds = dedup_by_url(ds)
 
@@ -136,11 +137,15 @@ def run_flagship(corpus_path, facts_path: str | None = None,
     if isinstance(concurrency, int):
         concurrency = (max(1, concurrency - 4), concurrency)
     normal, big = split_oversized(ds, skew_threshold)
-    # num_cpus=0.7: mild oversubscription — the streaming executor leaves
-    # ~30% of cores idle at 1.0 cpu/task (measured 22/32 busy); extraction
-    # records are small enough that the extra in-flight tasks are free
+    # Default num_cpus=0.7: mild oversubscription — the streaming executor
+    # leaves ~30% of cores idle at 1.0 cpu/task (measured 22/32 busy);
+    # tune per node via PDF_PARSER_EXTRACT_CPUS (on fully-loaded sockets
+    # oversubscription can flip to thrash).
+    import os as _os
+    extract_cpus = float(_os.environ.get("PDF_PARSER_EXTRACT_CPUS", "0.7"))
     extracted = extract_dataset(normal, facts_path, batch_size=batch_size,
-                                concurrency=concurrency, num_cpus=0.7)
+                                concurrency=concurrency,
+                                num_cpus=extract_cpus)
     big_extracted = extract_dataset(big, facts_path, batch_size=1,
                                     concurrency=(1, 2) if concurrency else None)
     extracted = extracted.union(big_extracted)
@@ -160,5 +165,6 @@ def run_flagship(corpus_path, facts_path: str | None = None,
         extracted = CONS.apply_all(extracted, resolved, seq_map)
 
     if out_dir:
-        return MAN.write_partitioned(extracted, out_dir, n_buckets)
+        return MAN.write_partitioned(extracted, out_dir, n_buckets,
+                                     input_fingerprint=fingerprint)
     return extracted

@@ -497,16 +497,7 @@ def build_scanned(rng: random.Random) -> str:
 _PERIODS_10Q = [("March 31", "Q1"), ("June 30", "Q2"), ("September 30", "Q3")]
 
 
-def synth_corpus(n_docs: int = 200, seed: int = 7,
-                 facts_fraction: float = 0.5) -> tuple[list[dict], list[dict]]:
-    """Build (corpus_rows, facts_rows).
-
-    corpus rows: url, warc_ts (datetime), html (bytes), text (str), lang.
-    facts rows: cik, filing_type, period_end, statement_type, canonical,
-    values, periods — value-consistent with the embedded tables except for a
-    deliberate discrepancy on every 7th filing (exercises warn/error
-    severities in cross-validation).
-    """
+def _make_families(n_docs: int, seed: int) -> list[dict]:
     rng = random.Random(seed)
     n_families = max(1, n_docs // 8)
     families = []
@@ -526,120 +517,145 @@ def synth_corpus(n_docs: int = 200, seed: int = 7,
             "phone": f"(212) 555-{1000 + fi:04d}",
             "shares": f"{rng.randint(1, 900)},{rng.randint(100, 999)},000",
         })
+    return families
 
+
+def _filing_index(doc_i: int) -> int:
+    """Filings occupy slots 0..15 of each 20-doc block (closed form so any
+    document derives independently of the others — shard-parallel synth)."""
+    return (doc_i // 20) * 16 + min(doc_i % 20, 16)
+
+
+def _web_page_at(doc_i: int, seed: int) -> tuple[str, str]:
+    drng = random.Random(seed * 1_000_003 + doc_i)
+    topic = ["markets", "energy", "climate", "tech"][doc_i % 4]
+    html = build_web_page(drng, topic, doc_i)
+    return f"https://blog.example.org/{topic}/post-{doc_i}", html
+
+
+def gen_doc(doc_i: int, seed: int, families: list[dict],
+            facts_fraction: float = 0.5) -> tuple[dict, list[dict]]:
+    """Generate document ``doc_i`` (and its facts rows) independently of
+    every other document — the property that lets corpus synthesis run as
+    parallel Ray tasks over doc ranges."""
+    n_families = len(families)
+    slot = doc_i % 20
+    drng = random.Random(seed * 1_000_003 + doc_i)
+    ts = _BASE_TS + timedelta(minutes=doc_i * 17)
+    facts_rows: list[dict] = []
+
+    if slot in (16, 17):  # generic web page
+        url, html = _web_page_at(doc_i, seed)
+        row = {"url": url, "warc_ts": ts, "html": html.encode(),
+               "text": "", "lang": "en"}
+    elif slot == 18:  # ifrs / scanned / exact duplicate
+        sub = doc_i % 3
+        if sub == 0:
+            fam = families[doc_i % n_families]
+            year = 2023 + (doc_i % 3)
+            html = build_ifrs_report(drng, fam, year)
+            url = f"https://reports.example.eu/{fam['slug']}/annual-{year}.html"
+            row = {"url": url, "warc_ts": ts, "html": html.encode(),
+                   "text": "", "lang": "en"}
+        elif sub == 1:
+            html = build_scanned(drng)
+            url = f"https://scans.example.net/doc-{doc_i}"
+            row = {"url": url, "warc_ts": ts, "html": html.encode(),
+                   "text": "", "lang": "en"}
+        else:  # exact duplicate of this block's slot-16 web page
+            src_url, html = _web_page_at((doc_i // 20) * 20 + 16, seed)
+            url = src_url + f"?ref=mirror-{doc_i}"
+            row = {"url": url, "warc_ts": ts, "html": html.encode(),
+                   "text": "", "lang": "en"}
+    elif slot == 19:  # non-English page (language-filter fodder)
+        topic = "mercado"
+        html = build_web_page(drng, topic, doc_i)
+        url = f"https://blog.example.mx/{topic}/nota-{doc_i}"
+        row = {"url": url, "warc_ts": ts, "html": html.encode(),
+               "text": "", "lang": "es"}
+    else:  # SEC filing
+        filing_i = _filing_index(doc_i)
+        fam = families[filing_i % n_families]
+        seq_in_family = filing_i // n_families
+        year = 2023 + seq_in_family // 4
+        qi = seq_in_family % 4
+        if qi == 3:
+            form, month = "10-K", "December 31"
+        else:
+            form = "10-Q"
+            month, _ptype = _PERIODS_10Q[qi]
+        period = f"{month}, {year}"
+        iso_month = {"March 31": "03-31", "June 30": "06-30",
+                     "September 30": "09-30", "December 31": "12-31"}[month]
+        period_iso = f"{year}-{iso_month}"
+        quirks = {
+            "rev_alias": _REV_ALIASES[filing_i % len(_REV_ALIASES)],
+            "note_col": filing_i % 3 == 0,
+            "orphan_row": filing_i % 4 == 1,
+            "bold_cover": filing_i % 5 == 2,
+            "interleaved": filing_i % 6 == 3,
+        }
+        html, v = build_sec_filing(drng, fam, form, period, period_iso,
+                                   year, quirks)
+        url = (f"https://filings.example.com/{fam['slug']}/"
+               f"{form.lower()}-{period_iso}.html")
+        row = {"url": url, "warc_ts": ts, "html": html.encode(),
+               "text": "", "lang": "en"}
+
+        if drng.random() < facts_fraction * 2 and filing_i % 2 == 0:
+            skew = 1.03 if filing_i % 7 == 0 else 1.0  # 3% off → "warn"
+            periods = [f"{year - 1}-{iso_month}", period_iso]
+            mapping = {
+                "income_statement": [("Revenue", v["revenue"]),
+                                     ("Cost of Revenue", v["cost"]),
+                                     ("Gross Profit", v["gross"]),
+                                     ("Operating Income", v["opinc"]),
+                                     ("Income Tax Expense", v["tax"]),
+                                     ("Net Income", v["ni"])],
+                "balance_sheet": [("Cash & Cash Equivalents", v["cash"]),
+                                  ("Total Current Assets", v["tca"]),
+                                  ("Total Assets", v["ta"]),
+                                  ("Total Current Liabilities", v["tcl"]),
+                                  ("Total Liabilities", v["tl"]),
+                                  ("Total Stockholders' Equity", v["te"])],
+                "cash_flow": [("Net Cash from Operations", v["cfo"]),
+                              ("Net Cash from Investing", v["cfi"]),
+                              ("Net Cash from Financing", v["cff"]),
+                              ("Depreciation & Amortization", v["dna"]),
+                              ("Ending Cash", v["end"])],
+            }
+            for st, pairs in mapping.items():
+                for canonical, vv in pairs:
+                    facts_rows.append({
+                        "cik": fam["cik"], "filing_type": form,
+                        "period_end": period_iso, "statement_type": st,
+                        "canonical": canonical,
+                        "values": [float(int(vv[0] * skew)), float(vv[1])],
+                        "periods": periods,
+                    })
+
+    from ..kernels.html_tokenizer import tokenize_pages
+    pages = tokenize_pages(row["html"], repair=False)
+    row["text"] = "\n\n".join(p.text for p in pages)
+    return row, facts_rows
+
+
+def synth_corpus(n_docs: int = 200, seed: int = 7,
+                 facts_fraction: float = 0.5) -> tuple[list[dict], list[dict]]:
+    """Build (corpus_rows, facts_rows) — same (seed, n_docs) → byte-identical.
+
+    corpus rows: url, warc_ts (datetime), html (bytes), text (str), lang.
+    facts rows: cik, filing_type, period_end, statement_type, canonical,
+    values, periods — value-consistent with the embedded tables except for a
+    deliberate 3% discrepancy on every 7th filing (warn-severity fodder).
+    """
+    families = _make_families(n_docs, seed)
     rows: list[dict] = []
     facts_rows: list[dict] = []
-    web_texts: list[tuple[str, str]] = []
-    doc_i = 0
-
-    def ts() -> datetime:
-        return _BASE_TS + timedelta(minutes=doc_i * 17)
-
-    filing_i = 0
-    while doc_i < n_docs:
-        slot = doc_i % 20
-        drng = random.Random(seed * 1_000_003 + doc_i)
-        if slot in (16, 17):  # generic web page
-            topic = ["markets", "energy", "climate", "tech"][doc_i % 4]
-            html = build_web_page(drng, topic, doc_i)
-            url = f"https://blog.example.org/{topic}/post-{doc_i}"
-            web_texts.append((url, html))
-            rows.append({"url": url, "warc_ts": ts(), "html": html.encode(),
-                         "text": "", "lang": "en"})
-        elif slot == 18:  # ifrs or scanned or duplicate
-            sub = doc_i % 3
-            if sub == 0:
-                fam = families[doc_i % n_families]
-                year = 2023 + (doc_i % 3)
-                html = build_ifrs_report(drng, fam, year)
-                url = f"https://reports.example.eu/{fam['slug']}/annual-{year}.html"
-                rows.append({"url": url, "warc_ts": ts(), "html": html.encode(),
-                             "text": "", "lang": "en"})
-            elif sub == 1 or not web_texts:
-                html = build_scanned(drng)
-                url = f"https://scans.example.net/doc-{doc_i}"
-                rows.append({"url": url, "warc_ts": ts(), "html": html.encode(),
-                             "text": "", "lang": "en"})
-            else:  # exact duplicate of an earlier web page under a new url
-                src_url, html = web_texts[doc_i % len(web_texts)]
-                url = src_url + f"?ref=mirror-{doc_i}"
-                rows.append({"url": url, "warc_ts": ts(), "html": html.encode(),
-                             "text": "", "lang": "en"})
-        elif slot == 19:  # non-English page (language-filter fodder)
-            topic = "mercado"
-            html = build_web_page(drng, topic, doc_i)
-            url = f"https://blog.example.mx/{topic}/nota-{doc_i}"
-            rows.append({"url": url, "warc_ts": ts(), "html": html.encode(),
-                         "text": "", "lang": "es"})
-        else:  # SEC filing
-            fam = families[filing_i % n_families]
-            seq_in_family = filing_i // n_families
-            year = 2023 + seq_in_family // 4
-            qi = seq_in_family % 4
-            if qi == 3:
-                form, month, ptype = "10-K", "December 31", "FY"
-            else:
-                form = "10-Q"
-                month, ptype = _PERIODS_10Q[qi]
-            period = f"{month}, {year}"
-            iso_month = {"March 31": "03-31", "June 30": "06-30",
-                         "September 30": "09-30", "December 31": "12-31"}[month]
-            period_iso = f"{year}-{iso_month}"
-            quirks = {
-                "rev_alias": _REV_ALIASES[filing_i % len(_REV_ALIASES)],
-                "note_col": filing_i % 3 == 0,
-                "orphan_row": filing_i % 4 == 1,
-                "bold_cover": filing_i % 5 == 2,
-                "interleaved": filing_i % 6 == 3,
-            }
-            html, v = build_sec_filing(drng, fam, form, period, period_iso,
-                                       year, quirks)
-            url = (f"https://filings.example.com/{fam['slug']}/"
-                   f"{form.lower()}-{period_iso}.html")
-            rows.append({"url": url, "warc_ts": ts(), "html": html.encode(),
-                         "text": "", "lang": "en"})
-
-            if drng.random() < facts_fraction * 2 and filing_i % 2 == 0:
-                skew = 1.0
-                if filing_i % 7 == 0:
-                    skew = 1.03  # 3% off → "warn" discrepancy
-                periods = [f"{year - 1}-{iso_month}", period_iso]
-                mapping = {
-                    "income_statement": [("Revenue", v["revenue"]),
-                                         ("Cost of Revenue", v["cost"]),
-                                         ("Gross Profit", v["gross"]),
-                                         ("Operating Income", v["opinc"]),
-                                         ("Income Tax Expense", v["tax"]),
-                                         ("Net Income", v["ni"])],
-                    "balance_sheet": [("Cash & Cash Equivalents", v["cash"]),
-                                      ("Total Current Assets", v["tca"]),
-                                      ("Total Assets", v["ta"]),
-                                      ("Total Current Liabilities", v["tcl"]),
-                                      ("Total Liabilities", v["tl"]),
-                                      ("Total Stockholders' Equity", v["te"])],
-                    "cash_flow": [("Net Cash from Operations", v["cfo"]),
-                                  ("Net Cash from Investing", v["cfi"]),
-                                  ("Net Cash from Financing", v["cff"]),
-                                  ("Depreciation & Amortization", v["dna"]),
-                                  ("Ending Cash", v["end"])],
-                }
-                for st, pairs in mapping.items():
-                    for canonical, vv in pairs:
-                        facts_rows.append({
-                            "cik": fam["cik"], "filing_type": form,
-                            "period_end": period_iso, "statement_type": st,
-                            "canonical": canonical,
-                            "values": [float(int(vv[0] * skew)), float(vv[1])],
-                            "periods": periods,
-                        })
-            filing_i += 1
-        doc_i += 1
-
-    # fill the text column with the tokenizer's page-text overlay
-    from ..kernels.html_tokenizer import tokenize_pages
-    for r in rows:
-        pages = tokenize_pages(r["html"], repair=False)
-        r["text"] = "\n\n".join(p.text for p in pages)
+    for doc_i in range(n_docs):
+        row, frows = gen_doc(doc_i, seed, families, facts_fraction)
+        rows.append(row)
+        facts_rows.extend(frows)
     return rows, facts_rows
 
 
@@ -673,6 +689,67 @@ def write_corpus(out_dir: str, n_docs: int = 200, seed: int = 7,
         table = pa.Table.from_pylist(chunk, schema=schema)
         pq.write_table(table,
                        os.path.join(corpus_dir, f"part-{si // per:05d}.parquet"))
+
+    facts_path = os.path.join(out_dir, "facts.parquet")
+    fschema = pa.schema([
+        ("cik", pa.string()), ("filing_type", pa.string()),
+        ("period_end", pa.string()), ("statement_type", pa.string()),
+        ("canonical", pa.string()), ("values", pa.list_(pa.float64())),
+        ("periods", pa.list_(pa.string())),
+    ])
+    pq.write_table(pa.Table.from_pylist(facts_rows, schema=fschema), facts_path)
+    return corpus_dir, facts_path
+
+
+def write_corpus_parallel(out_dir: str, n_docs: int, seed: int = 7,
+                          shards: int = 128) -> tuple[str, str]:
+    """Shard-parallel corpus staging: each Ray task generates one doc range
+    (documents derive independently via :func:`gen_doc`) and writes its own
+    parquet shard. Same (seed, n_docs, shards) → byte-identical corpus to
+    the serial :func:`write_corpus` layout. Requires an initialized Ray
+    session; falls back to the serial writer otherwise."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        import ray
+        if not ray.is_initialized():
+            raise RuntimeError
+    except Exception:
+        return write_corpus(out_dir, n_docs=n_docs, seed=seed, shards=shards)
+
+    os.makedirs(out_dir, exist_ok=True)
+    corpus_dir = os.path.join(out_dir, "corpus")
+    os.makedirs(corpus_dir, exist_ok=True)
+    families = _make_families(n_docs, seed)
+    fam_ref = ray.put(families)
+
+    schema = pa.schema([
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.large_string()),
+        ("lang", pa.string()),
+    ])
+    per = max(1, (n_docs + shards - 1) // shards)
+
+    @ray.remote
+    def gen_shard(si: int, lo: int, hi: int) -> list[dict]:
+        fams = ray.get(fam_ref)
+        rows, facts = [], []
+        for doc_i in range(lo, hi):
+            row, frows = gen_doc(doc_i, seed, fams)
+            rows.append(row)
+            facts.extend(frows)
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                       os.path.join(corpus_dir, f"part-{si:05d}.parquet"))
+        return facts
+
+    futures = [gen_shard.remote(si, lo, min(lo + per, n_docs))
+               for si, lo in enumerate(range(0, n_docs, per))]
+    facts_rows = [f for chunk in ray.get(futures) for f in chunk]
 
     facts_path = os.path.join(out_dir, "facts.parquet")
     fschema = pa.schema([

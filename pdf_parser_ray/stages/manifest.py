@@ -35,7 +35,27 @@ def add_bucket_column(ds, n_buckets: int = 64):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
-def completed_buckets(out_dir: str) -> set[int]:
+def input_fingerprint(corpus_path) -> str:
+    """Fingerprint of the input partition set: shard paths + sizes.
+
+    A changed input must invalidate completed-bucket checkpoints (a bucket
+    id alone would silently skip reprocessing after the corpus changed —
+    SURVEY.md §7.3 resume-correctness requirement)."""
+    import hashlib
+
+    if not isinstance(corpus_path, str) or not os.path.isdir(corpus_path):
+        return ""
+    parts = []
+    for root, _, files in sorted(os.walk(corpus_path)):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            parts.append(f"{os.path.relpath(p, corpus_path)}:{os.path.getsize(p)}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+def completed_buckets(out_dir: str, fingerprint: str = "") -> set[int]:
+    """Buckets with a manifest whose input fingerprint matches (empty
+    fingerprint on either side = no check, for non-directory inputs)."""
     done: set[int] = set()
     if not os.path.isdir(out_dir):
         return done
@@ -43,13 +63,19 @@ def completed_buckets(out_dir: str) -> set[int]:
         if name.startswith("bucket="):
             manifest = os.path.join(out_dir, name, "_manifest.json")
             if os.path.exists(manifest):
+                with open(manifest) as fh:
+                    meta = json.load(fh)
+                recorded = meta.get("input_fingerprint", "")
+                if fingerprint and recorded and recorded != fingerprint:
+                    continue  # input changed → bucket must reprocess
                 done.add(int(name.split("=", 1)[1]))
     return done
 
 
-def resume_filter(ds, out_dir: str, n_buckets: int = 64):
-    """Drop input rows whose output bucket already has a manifest."""
-    done = completed_buckets(out_dir)
+def resume_filter(ds, out_dir: str, n_buckets: int = 64,
+                  fingerprint: str = ""):
+    """Drop input rows whose output bucket already has a valid manifest."""
+    done = completed_buckets(out_dir, fingerprint)
     if not done:
         return ds
     done_list = sorted(done)

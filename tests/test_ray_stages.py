@@ -188,3 +188,23 @@ def test_section_classifier(ray_session):
     assert out[1]["section_pred"] == "mda"
     assert out[2]["section_pred"] == "cash_flow"
     assert all(0 <= out[i]["section_conf"] <= 1 for i in out)
+
+
+def test_resume_invalidated_by_input_change(tmp_path, ray_session):
+    """A changed input corpus must invalidate completed-bucket manifests."""
+    import ray.data
+    from pdf_parser_ray.pipelines.flagship import run_flagship
+    from pdf_parser_ray.sources.corpus import write_corpus
+    cdir, fpath = write_corpus(str(tmp_path / "c"), n_docs=20, seed=3,
+                               shards=2)
+    out_dir = str(tmp_path / "out")
+    s1 = run_flagship(cdir, fpath, out_dir=out_dir, n_buckets=4,
+                      concurrency=(1, 2))
+    # grow the corpus: a new shard with one more doc
+    cdir2, _ = write_corpus(str(tmp_path / "c2"), n_docs=24, seed=3, shards=2)
+    import shutil
+    for f in os.listdir(cdir2):
+        shutil.copy(os.path.join(cdir2, f), os.path.join(cdir, "x-" + f))
+    s2 = run_flagship(cdir, fpath, out_dir=out_dir, n_buckets=4,
+                      concurrency=(1, 2))
+    assert s2["rows"] > s1["rows"]
