@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q07_top_orders": Q.q07_top_orders,
         "q08_events_props": Q.q08_events_props,
         "q09_events_window": Q.q09_events_window,
+        "q15_sessionize": Q.q15_sessionize,
+        "q16_asof_join": Q.q16_asof_join,
         # text analysis
         "q10_doc_stats": Q.q10_doc_stats,
         "q11_lang_pred": Q.q11_lang_pred,
@@ -69,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q40_frame_sample": Q.q40_frame_sample,
         # flagship extraction (non-SQL semantics)
         "q50_extract": Q.q50_extract,
+        "q51_qa_summary": Q.q51_qa_summary,
     }
 
 
@@ -118,6 +121,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "q15_sessionize": """
+            SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq
+            FROM (
+              SELECT event_id, user_id, ts,
+                SUM(CASE WHEN prev_ts IS NULL
+                         OR epoch(ts) - epoch(prev_ts) > 1800
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS session_seq
+              FROM (SELECT event_id, user_id, ts,
+                      LAG(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_ts
+                    FROM events))
+            ORDER BY event_id""",
+        "q16_asof_join": """
+            SELECT e.event_id, o.o_orderkey
+            FROM events e ASOF JOIN (
+              SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY 1, 2) o
+            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id""",
         "q10_doc_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,
                    SUM({_TOKEN_CNT}) AS total_tokens,

@@ -151,6 +151,34 @@ def q09_events_window(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
+def q15_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessions (30 min) per user over the events stream."""
+    ds = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    out = R.sessionize(ds, key="user_id", ts="ts", id_col="event_id").to_pandas()
+    for c in ("event_id", "user_id", "session_seq"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q16_asof_join(sf_dir: str) -> pd.DataFrame:
+    """For each event, the user's latest order at or before the event."""
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    # dedupe ties: one row per (user, date), max orderkey — as-of picks
+    # arbitrarily among equal timestamps otherwise (oracle would diverge)
+    orders = (orders.groupby(["o_custkey", "o_orderdate"], sort=False)
+              ["o_orderkey"].max().reset_index())
+    ds = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+    out = R.asof_join_backward(
+        ds, orders, key="user_id", right_key="o_custkey",
+        ts="ts", right_ts="o_orderdate",
+        value_cols=["o_orderkey"]).to_pandas()
+    out = out[["event_id", "o_orderkey"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis over documents
 # ---------------------------------------------------------------------------
@@ -355,17 +383,50 @@ def q40_frame_sample(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q50_extract(sf_dir: str) -> pd.DataFrame:
-    import pyarrow as pa
-    import ray.data
+def _documents_as_corpus(sf_dir: str):
+    """documents.parquet → corpus rows, built inside map_batches (the
+    corpus wrap is part of the distributed pipeline, not a driver loop)."""
+    import random
 
-    from ..sources.corpus import corpus_from_documents
+    from ..sources.corpus import _BASE_TS, build_web_page
+
+    def wrap(df: pd.DataFrame) -> pd.DataFrame:
+        from datetime import timedelta
+        out = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+        for rec in df.itertuples():
+            rng = random.Random(1000 + rec.doc_id)
+            html = build_web_page(rng, str(rec.source), rec.doc_id,
+                                  body_text=rec.text)
+            out["url"].append(
+                f"https://docs.example.org/{rec.source}/{rec.doc_id}")
+            out["warc_ts"].append(_BASE_TS + timedelta(minutes=int(rec.doc_id)))
+            out["html"].append(html.encode())
+            out["text"].append(rec.text)
+            out["lang"].append(rec.lang)
+        return pd.DataFrame(out)
+
+    return _read(sf_dir, "documents").map_batches(wrap, batch_format="pandas")
+
+
+def q50_extract(sf_dir: str) -> pd.DataFrame:
     from ..stages.extract import extract_dataset
 
-    rows = corpus_from_documents(sf_dir)
-    table = pa.Table.from_pylist(rows)
-    ds = ray.data.from_arrow(table)
-    extracted = extract_dataset(ds, None, concurrency=(1, 4))
+    ds = _documents_as_corpus(sf_dir)
+    extracted = extract_dataset(ds, None)
     df = extracted.select_columns(
         ["url", "status", "doc_kind", "n_spans"]).to_pandas()
     return df.sort_values("url").reset_index(drop=True)
+
+
+def q51_qa_summary(sf_dir: str) -> pd.DataFrame:
+    """Extraction → QA harness → per-check pass/fail counts (rows-only:
+    the 9-check harness is not SQL)."""
+    from ..stages.extract import extract_dataset
+    from ..stages.qa import qa_dataset, summarize
+
+    ds = _documents_as_corpus(sf_dir)
+    summary = summarize(qa_dataset(extract_dataset(ds, None)))
+    out = pd.DataFrame({"key": sorted(summary),
+                        "n": [summary[k] for k in sorted(summary)]})
+    out["n"] = out["n"].astype("int64")
+    return out

@@ -112,3 +112,52 @@ def topk(ds, by: str, k: int, *, ascending: bool = False,
                            batch_size=batch_size).to_pandas()
     return (cands.sort_values(cols, ascending=asc, kind="mergesort")
             .head(k).reset_index(drop=True))
+
+
+def asof_join_backward(ds, right_df: pd.DataFrame, *, key: str,
+                       right_key: str, ts: str, right_ts: str,
+                       value_cols: list[str], batch_size: int = 8192):
+    """As-of join (Ray Data has none): for each left row, the latest right
+    row of the same key with right_ts <= ts. Inner semantics.
+
+    The right side is broadcast once (sorted); each left batch runs one
+    vectorized ``pandas.merge_asof``. At scale, when the right side stops
+    being broadcastable, the same semantics run per key-bucket: hash both
+    sides on the key, sort within bucket, merge — the documented
+    partitioning assumption (co-partition by key, time-sorted).
+    """
+    import ray
+
+    right = right_df.rename(columns={right_key: key, right_ts: ts})
+    right = right[[key, ts, *value_cols]].sort_values(ts, kind="mergesort")
+    right_ref = ray.put(right)
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(right_ref)
+        left = df.sort_values(ts, kind="mergesort")
+        out = pd.merge_asof(left, r, on=ts, by=key, direction="backward")
+        return out.dropna(subset=value_cols)
+
+    return ds.map_batches(join, batch_format="pandas", batch_size=batch_size)
+
+
+def sessionize(ds, *, key: str, ts: str, id_col: str,
+               gap_seconds: int = 1800):
+    """Gap-based sessionization: a new session starts when the time since
+    the key's previous event exceeds ``gap_seconds``. Emits
+    (id_col, key, session_seq) with session_seq 1-based per key.
+
+    A grouped stage (all of one key's events co-located), vectorized
+    pandas inside — the custom windowed operator the reference lacks and
+    Ray Data doesn't ship."""
+    import pyarrow as pa
+
+    def assign(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values([ts, id_col], kind="mergesort")
+        gap = df[ts].diff().dt.total_seconds()
+        new_session = gap.isna() | (gap > gap_seconds)
+        df["session_seq"] = new_session.cumsum().astype("int64")
+        return pa.Table.from_pandas(df[[id_col, key, "session_seq"]],
+                                    preserve_index=False)
+
+    return ds.groupby(key).map_groups(assign, batch_format="pyarrow")

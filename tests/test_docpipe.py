@@ -99,3 +99,27 @@ def test_hostile_payloads():
                     b"<html><body>plain</body></html>"):
         rec = process_document("https://x/t", payload, "2025-01-01", norm)
         assert rec["status"].startswith(("ok", "skipped", "error"))
+
+
+def test_golden_byte_identity():
+    """Byte-identity of extracted_text per url against frozen goldens
+    (tests/goldens.json) — the per-row invariant of the north rule. Any
+    kernel change that alters output must consciously regenerate the
+    goldens (tools/regen_goldens.py)."""
+    import hashlib
+    import os
+
+    golden_path = os.path.join(os.path.dirname(__file__), "goldens.json")
+    goldens = json.load(open(golden_path))
+    rows, facts_rows = synth_corpus(40, seed=7)
+    norm = LabelNormalizer()
+    fs = FactsStore(facts_rows)
+    for r in rows:
+        rec = process_document(r["url"], r["html"], str(r["warc_ts"]),
+                               norm, fs)
+        g = goldens[r["url"]]
+        actual = hashlib.md5(rec["extracted_text"].encode()).hexdigest()
+        assert actual == g["md5"], (r["url"], rec["status"])
+        assert rec["status"] == g["status"]
+        assert rec["doc_kind"] == g["doc_kind"]
+        assert rec["n_spans"] == g["n_spans"]
