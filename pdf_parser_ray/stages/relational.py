@@ -133,8 +133,12 @@ def asof_join_backward(ds, right_df: pd.DataFrame, *, key: str,
     right_ref = ray.put(right)
 
     def join(df: pd.DataFrame) -> pd.DataFrame:
-        r = ray.get(right_ref)
-        left = df.sort_values(ts, kind="mergesort")
+        r = ray.get(right_ref).copy()
+        left = df.sort_values(ts, kind="mergesort").copy()
+        # arrow round-trips yield mixed s/us/ns resolutions; merge_asof
+        # requires identical dtypes
+        left[ts] = left[ts].astype("datetime64[ns]")
+        r[ts] = r[ts].astype("datetime64[ns]")
         out = pd.merge_asof(left, r, on=ts, by=key, direction="backward")
         return out.dropna(subset=value_cols)
 

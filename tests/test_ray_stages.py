@@ -208,3 +208,30 @@ def test_resume_invalidated_by_input_change(tmp_path, ray_session):
     s2 = run_flagship(cdir, fpath, out_dir=out_dir, n_buckets=4,
                       concurrency=(1, 2))
     assert s2["rows"] > s1["rows"]
+
+
+def test_sessionize_and_asof(ray_session):
+    import ray.data
+    from pdf_parser_ray.stages.relational import (asof_join_backward,
+                                                  sessionize)
+    ts = pd.to_datetime
+    events = ray.data.from_items([
+        {"event_id": 1, "user_id": 1, "ts": ts("2025-01-01 10:00")},
+        {"event_id": 2, "user_id": 1, "ts": ts("2025-01-01 10:10")},
+        {"event_id": 3, "user_id": 1, "ts": ts("2025-01-01 12:00")},
+        {"event_id": 4, "user_id": 2, "ts": ts("2025-01-01 10:05")},
+    ])
+    sess = {r["event_id"]: r["session_seq"]
+            for r in sessionize(events, key="user_id", ts="ts",
+                                id_col="event_id").take_all()}
+    assert sess == {1: 1, 2: 1, 3: 2, 4: 1}
+
+    right = pd.DataFrame({
+        "k": [1, 1, 2], "rts": ts(["2025-01-01 09:00", "2025-01-01 10:05",
+                                   "2025-01-02 00:00"]),
+        "val": [100, 200, 300]})
+    out = asof_join_backward(events, right, key="user_id", right_key="k",
+                             ts="ts", right_ts="rts",
+                             value_cols=["val"]).to_pandas()
+    got = dict(zip(out["event_id"], out["val"].astype(int)))
+    assert got == {1: 100, 2: 200, 3: 200}  # event 4: no order before → dropped
