@@ -115,9 +115,12 @@ def run_flagship(corpus_path, facts_path: str | None = None,
     partitioned output (resuming past completed buckets) and returns the
     write summary dict.
     """
+    import time as _time
+
     import ray
     import ray.data
 
+    t_start = _time.monotonic()
     if hasattr(corpus_path, "map_batches"):
         ds = corpus_path
     else:
@@ -165,6 +168,23 @@ def run_flagship(corpus_path, facts_path: str | None = None,
         extracted = CONS.apply_all(extracted, resolved, seq_map)
 
     if out_dir:
-        return MAN.write_partitioned(extracted, out_dir, n_buckets,
-                                     input_fingerprint=fingerprint)
+        summary = MAN.write_partitioned(extracted, out_dir, n_buckets,
+                                        input_fingerprint=fingerprint)
+        # stamp run-level metrics now that the (lazy) plan has executed
+        elapsed = _time.monotonic() - t_start
+        import json as _json
+        import os as _os2
+        run_path = _os2.path.join(out_dir, "_run_manifest.json")
+        with open(run_path) as fh:
+            run = _json.load(fh)
+        run["metrics"] = {
+            "elapsed_sec": round(elapsed, 2),
+            "docs_per_sec": round(summary["rows"] / elapsed, 2) if elapsed else 0,
+            "config": {"batch_size": batch_size, "n_buckets": n_buckets,
+                       "dedup": str(dedup), "consistency": consistency,
+                       "extract_cpus": extract_cpus},
+        }
+        with open(run_path, "w") as fh:
+            _json.dump(run, fh, indent=1)
+        return summary
     return extracted

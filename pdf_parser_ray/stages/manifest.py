@@ -90,7 +90,8 @@ def resume_filter(ds, out_dir: str, n_buckets: int = 64,
 
 
 def write_partitioned(extracted_ds, out_dir: str, n_buckets: int = 64,
-                      input_fingerprint: str = "") -> dict:
+                      input_fingerprint: str = "",
+                      run_metrics: dict | None = None) -> dict:
     """Write one directory per bucket + manifest sidecars.
 
     Uses ``write_parquet(partition_cols=["bucket"])`` so each bucket is its
@@ -120,4 +121,11 @@ def write_partitioned(extracted_ds, out_dir: str, n_buckets: int = 64,
                        "input_fingerprint": input_fingerprint}, fh)
         total_rows += rows
         n_done += 1
-    return {"rows": total_rows, "buckets": n_done}
+    summary = {"rows": total_rows, "buckets": n_done}
+    # run-level lineage record: config + metrics alongside the buckets
+    # (north rule: per-partition lineage manifests AND metrics checkpointed)
+    with open(os.path.join(out_dir, "_run_manifest.json"), "w") as fh:
+        json.dump({**summary, "input_fingerprint": input_fingerprint,
+                   "n_buckets": n_buckets,
+                   "metrics": run_metrics or {}}, fh, indent=1)
+    return summary

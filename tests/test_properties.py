@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis) — the reference has none (SURVEY §5);
+these pin the never-crash and invariant guarantees fuzzing can reach."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_parser_ray.kernels.checks import parse_numeric
+from pdf_parser_ray.kernels.docpipe import process_document
+from pdf_parser_ray.kernels.html_tokenizer import tokenize_pages
+from pdf_parser_ray.kernels.taxonomy import LabelNormalizer
+from pdf_parser_ray.kernels.textfix import collapse_glyph_runs
+from pdf_parser_ray.stages.dedup import ngram_jaccard, shingle_hashes, simhash64
+
+_NORM = LabelNormalizer()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4096))
+def test_tokenizer_never_crashes(payload):
+    pages = tokenize_pages(payload)
+    assert isinstance(pages, list) and pages
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2048))
+def test_process_document_always_returns_record(payload):
+    rec = process_document("https://fuzz/x", payload, "2025-01-01", _NORM)
+    assert rec["status"]
+    assert isinstance(rec["extracted_text"], str)
+    for s in rec["spans"]:
+        assert 0 <= s["start"] <= s["end"] <= len(rec["extracted_text"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_parse_numeric_total(s):
+    v = parse_numeric(s)
+    assert v is None or isinstance(v, float)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=120))
+def test_glyph_collapse_never_grows(line):
+    out = collapse_glyph_runs(line)
+    assert len(out) <= len(line)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(whitelist_categories=("Ll", "Zs")),
+               max_size=300),
+       st.text(alphabet=st.characters(whitelist_categories=("Ll", "Zs")),
+               max_size=300))
+def test_jaccard_properties(a, b):
+    j_ab = ngram_jaccard(a, b)
+    j_ba = ngram_jaccard(b, a)
+    assert 0.0 <= j_ab <= 1.0
+    assert j_ab == j_ba                       # symmetric
+    assert ngram_jaccard(a, a) == 1.0         # reflexive
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_simhash_stable_and_bounded(t):
+    h1, h2 = simhash64(t), simhash64(t)
+    assert h1 == h2
+    assert 0 <= h1 < (1 << 64)
+    assert len(shingle_hashes(t)) >= 1
