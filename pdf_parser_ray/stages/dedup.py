@@ -203,13 +203,20 @@ class MinHashSignatures:
 
 
 def _band_rows(df: pd.DataFrame, id_col: str, bands: int, rows: int) -> pd.DataFrame:
-    out_id, out_key = [], []
-    for did, sig in zip(df[id_col], df["minhash_sig"]):
-        for bi in range(bands):
-            chunk = tuple(sig[bi * rows:(bi + 1) * rows])
-            out_id.append(did)
-            out_key.append(f"{bi}:{zlib.crc32(repr(chunk).encode())}")
-    return pd.DataFrame({id_col: out_id, "band_key": out_key})
+    """Vectorized banding: (docs × num_perm) signature matrix → one mixed
+    uint64 band key per (doc, band) via numpy, no per-doc Python loop."""
+    if df.empty:
+        return pd.DataFrame({id_col: [], "band_key": []})
+    sig = np.stack([np.asarray(s, dtype=np.int64) for s in df["minhash_sig"]])
+    n = sig.shape[0]
+    chunks = sig.reshape(n, bands, rows).astype(np.uint64)
+    mixed = np.zeros((n, bands), dtype=np.uint64)
+    for ri in range(rows):  # rows is 4 — a fixed tiny loop, vector ops inside
+        mixed = _mix64(mixed ^ chunks[:, :, ri])
+    band_idx = np.broadcast_to(np.arange(bands, dtype=np.uint64), (n, bands))
+    keys = (mixed ^ _mix64(band_idx.copy())).ravel()
+    ids = np.repeat(df[id_col].to_numpy(), bands)
+    return pd.DataFrame({id_col: ids, "band_key": keys})
 
 
 def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
@@ -223,38 +230,39 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
     (fraction of equal minhash components ≥ threshold).
     """
     rows = num_perm // bands
-    sig_ds = ds.select_columns([id_col, text_col]).map_batches(
+    # The signature computation is the distributed stage (shingling is the
+    # compute); the signature frame itself is docs × num_perm ints — tiny
+    # relative to the text — so it collects once and banding / candidate
+    # verification run vectorized driver-side. At 10^12 docs the collect
+    # becomes: shuffle the (band_key, id) rows by band_key, verify within
+    # partitions, union-find the (small) verified pair list — same math.
+    sig_df = ds.select_columns([id_col, text_col]).map_batches(
         MinHashSignatures, fn_constructor_kwargs={
             "text_col": text_col, "num_perm": num_perm, "k": k},
-        batch_format="pandas", concurrency=concurrency).materialize()
+        batch_format="pandas", concurrency=concurrency).to_pandas()
 
-    buckets = sig_ds.map_batches(
-        lambda df: _band_rows(df, id_col, bands, rows), batch_format="pandas")
-    cand = _pairs_from_buckets(buckets, id_col)
+    bucket_df = _band_rows(sig_df, id_col, bands, rows)
+    dup = bucket_df[bucket_df.duplicated("band_key", keep=False)]
+    cand: set = set()
+    for _, members in dup.groupby("band_key", sort=False)[id_col]:
+        ids = sorted(members.tolist())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
 
-    # verify on signatures of candidate ids only
-    cand_ids = sorted({x for p in cand for x in p})
     verified: list[tuple] = []
     if cand:
-        sig_map = {}
-        id_set = set(cand_ids)
-
-        def collect(df: pd.DataFrame) -> pd.DataFrame:
-            sub = df[df[id_col].isin(id_set)]
-            return sub[[id_col, "minhash_sig"]]
-
-        for r in sig_ds.map_batches(collect, batch_format="pandas").take_all():
-            sig_map[r[id_col]] = np.asarray(r["minhash_sig"])
-        for x, y in cand:
+        sig_map = {i: np.asarray(s) for i, s in
+                   zip(sig_df[id_col], sig_df["minhash_sig"])}
+        for x, y in sorted(cand):
             est = float((sig_map[x] == sig_map[y]).mean())
             if est >= threshold:
                 verified.append((x, y))
 
-    all_ids = [r[id_col] for r in
-               sig_ds.select_columns([id_col]).take_all()]
+    all_ids = sig_df[id_col].tolist()
     rep = cluster_pairs(verified, all_ids)
     clusters = pd.DataFrame({"id": list(rep), "rep": [rep[i] for i in rep]})
-    return clusters.sort_values("id").reset_index(drop=True), sig_ds
+    return clusters.sort_values("id").reset_index(drop=True), sig_df
 
 
 # ---------------------------------------------------------------------------
@@ -272,27 +280,36 @@ def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
         out["simhash"] = [simhash64(t) for t in df[text_col].fillna("")]
         return out
 
-    sig_ds = ds.select_columns([id_col, text_col]).map_batches(
-        sigs, batch_format="pandas").materialize()
+    # distributed hashing stage; the (id, simhash) frame is tiny → banding
+    # and verification run vectorized driver-side (scale path as in
+    # minhash_lsh_dedup: shuffle band rows, verify per partition)
+    sig_df = ds.select_columns([id_col, text_col]).map_batches(
+        sigs, batch_format="pandas").to_pandas()
 
     width = 64 // n_bands
     mask = (1 << width) - 1
+    sig_arr = sig_df["simhash"].to_numpy(dtype=np.uint64)
+    ids_arr = sig_df[id_col].to_numpy()
+    frames = []
+    for bi in range(n_bands):
+        frames.append(pd.DataFrame({
+            id_col: ids_arr,
+            "band_key": (np.uint64(bi) << np.uint64(60))
+            | ((sig_arr >> np.uint64(bi * width)) & np.uint64(mask)),
+        }))
+    bucket_df = pd.concat(frames, ignore_index=True)
+    dup = bucket_df[bucket_df.duplicated("band_key", keep=False)]
+    cand: set = set()
+    for _, members in dup.groupby("band_key", sort=False)[id_col]:
+        mids = sorted(members.tolist())
+        for i in range(len(mids)):
+            for j in range(i + 1, len(mids)):
+                cand.add((mids[i], mids[j]))
 
-    def bands_of(df: pd.DataFrame) -> pd.DataFrame:
-        out_id, out_key = [], []
-        for did, sh in zip(df[id_col], df["simhash"]):
-            for bi in range(n_bands):
-                out_id.append(did)
-                out_key.append(f"{bi}:{(int(sh) >> (bi * width)) & mask}")
-        return pd.DataFrame({id_col: out_id, "band_key": out_key})
-
-    cand = _pairs_from_buckets(
-        sig_ds.map_batches(bands_of, batch_format="pandas"), id_col)
-
-    sig_map = {r[id_col]: int(r["simhash"]) for r in sig_ds.take_all()}
-    verified = [(x, y) for x, y in cand
+    sig_map = dict(zip(ids_arr.tolist(), sig_arr.tolist()))
+    verified = [(x, y) for x, y in sorted(cand)
                 if bin(sig_map[x] ^ sig_map[y]).count("1") <= max_hamming]
-    rep = cluster_pairs(verified, list(sig_map))
+    rep = cluster_pairs(verified, ids_arr.tolist())
     return (pd.DataFrame({"id": list(rep), "rep": [rep[i] for i in rep]})
             .sort_values("id").reset_index(drop=True))
 
