@@ -123,3 +123,25 @@ def test_golden_byte_identity():
         assert rec["status"] == g["status"]
         assert rec["doc_kind"] == g["doc_kind"]
         assert rec["n_spans"] == g["n_spans"]
+
+
+def test_span_slices_are_section_bodies():
+    """text[span.start:span.end] must be exactly the section body — no
+    bleed into neighbouring headings (the span-offset contract consumers
+    rely on)."""
+    rows, facts_rows = synth_corpus(20, seed=7)
+    norm = LabelNormalizer()
+    fs = FactsStore(facts_rows)
+    checked = 0
+    for r in rows:
+        rec = process_document(r["url"], r["html"], str(r["warc_ts"]),
+                               norm, fs)
+        if rec["status"] != "ok":
+            continue
+        text = rec["extracted_text"]
+        for s in rec["spans"]:
+            body = text[s["start"]:s["end"]]
+            assert not body.startswith("## "), (r["url"], s["section"])
+            assert "\n## " not in body, (r["url"], s["section"])
+            checked += 1
+    assert checked > 50

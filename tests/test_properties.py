@@ -65,3 +65,16 @@ def test_simhash_stable_and_bounded(t):
     assert h1 == h2
     assert 0 <= h1 < (1 << 64)
     assert len(shingle_hashes(t)) >= 1
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.lists(st.one_of(st.text(max_size=12),
+                                   st.sampled_from(["$", "", "(1,234", ")",
+                                                    "1,234", "—", "%"])),
+                         max_size=10),
+                max_size=12),
+       st.text(max_size=400))
+def test_normalize_tables_total(table, section_text):
+    from pdf_parser_ray.kernels.tablekit import normalize_tables
+    out = normalize_tables(section_text, [table] if table else [])
+    assert isinstance(out, str)
