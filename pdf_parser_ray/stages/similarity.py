@@ -135,7 +135,13 @@ def knn_topk_ivf(ds, queries: dict, centroids: np.ndarray, *, vec_col: str,
     parts_needed = sorted({int(p) for row in probe for p in row})
 
     part_ds = add_ivf_partition(ds, centroids, vec_col)
-    pruned = part_ds.filter(
-        lambda r: r["ivf_part"] in parts_needed)
+    needed = set(parts_needed)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized predicate inside map_batches — a row filter would call
+        # Python once per row
+        return df[df["ivf_part"].isin(needed)]
+
+    pruned = part_ds.map_batches(keep, batch_format="pandas")
     return knn_topk(pruned, queries, vec_col=vec_col, id_col=id_col, k=k,
                     batch_size=batch_size)
