@@ -145,3 +145,24 @@ def test_span_slices_are_section_bodies():
             assert "\n## " not in body, (r["url"], s["section"])
             checked += 1
     assert checked > 50
+
+
+def test_ifrs_document_structure():
+    rows, _ = synth_corpus(60, seed=7)
+    norm = LabelNormalizer()
+    ifrs = None
+    for r in rows:
+        if "reports.example.eu" in r["url"]:
+            ifrs = process_document(r["url"], r["html"], str(r["warc_ts"]),
+                                    norm)
+            break
+    assert ifrs is not None and ifrs["status"] == "ok"
+    assert ifrs["doc_kind"] == "ifrs"
+    text = ifrs["extracted_text"]
+    for heading in ("Profit or Loss", "Balance Sheet", "Cash Flows"):
+        assert heading in text, heading
+    # financial statements rendered as pipe tables with canonical labels
+    assert "| Revenue" in text or "| Total assets" in text
+    # notes section is prose (no table pipes bleeding in)
+    sections = {s["section"]: s for s in ifrs["spans"]}
+    assert len(sections) >= 4
