@@ -234,7 +234,6 @@ DUP_OFFSET = 10_000_000
 def _doubled_documents(sf_dir: str, perturb: bool = False):
     """documents ∪ copy (ids + DUP_OFFSET); optionally append one token to
     the copy's text so the pair is a near-dup, not an exact dup."""
-    import ray.data
     base = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
 
     def shift(df: pd.DataFrame) -> pd.DataFrame:
@@ -244,7 +243,11 @@ def _doubled_documents(sf_dir: str, perturb: bool = False):
             df["text"] = df["text"] + " perturbed"
         return df
 
-    return base.union(base.map_batches(shift, batch_format="pandas"))
+    # identity pandas map on the base branch: unioning arrow blocks with
+    # pandas blocks trips downstream block builders and spams schema-
+    # mismatch warnings
+    base_pd = base.map_batches(lambda df: df, batch_format="pandas")
+    return base_pd.union(base_pd.map_batches(shift, batch_format="pandas"))
 
 
 def q20_exact_dedup(sf_dir: str) -> pd.DataFrame:

@@ -235,3 +235,19 @@ def test_sessionize_and_asof(ray_session):
                              value_cols=["val"]).to_pandas()
     got = dict(zip(out["event_id"], out["val"].astype(int)))
     assert got == {1: 100, 2: 200, 3: 200}  # event 4: no order before → dropped
+
+
+def test_extraction_actor_pool_path(corpus_dir, ray_session):
+    """use_actors=True (the heavy-state variant) must produce identical
+    records to the default task pool."""
+    import ray.data
+    from pdf_parser_ray.stages.extract import extract_dataset
+    cdir, fpath = corpus_dir
+    ds = ray.data.read_parquet(cdir)
+    task_out = {r["url"]: r["extracted_text"] for r in
+                extract_dataset(ds, fpath).take_all()}
+    actor_out = {r["url"]: r["extracted_text"] for r in
+                 extract_dataset(ray.data.read_parquet(cdir), fpath,
+                                 use_actors=True,
+                                 concurrency=(1, 2)).take_all()}
+    assert task_out == actor_out
