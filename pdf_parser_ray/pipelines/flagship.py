@@ -131,6 +131,9 @@ def run_flagship(corpus_path, facts_path: str | None = None,
 
     fingerprint = MAN.input_fingerprint(corpus_path)
     if out_dir:
+        # crashed fragments must go before any re-write or buckets would
+        # hold duplicate rows (old + new complete file sets side by side)
+        MAN.clean_incomplete_buckets(out_dir, fingerprint)
         ds = MAN.resume_filter(ds, out_dir, n_buckets, fingerprint)
     if dedup == "pre":
         ds = dedup_by_url(ds)
@@ -153,18 +156,44 @@ def run_flagship(corpus_path, facts_path: str | None = None,
                                     concurrency=(1, 2) if concurrency else None)
     extracted = extracted.union(big_extracted)
 
-    if consistency or dedup in (True, "post"):
+    if consistency or dedup in (True, "post") or out_dir:
         # The first-wins aggregate is a real barrier: it must see every
         # document's mappings before any backfill. Materialize the condensed
         # records once (they are far smaller than the input payloads; the
         # object store spills if needed) so extraction doesn't execute twice
-        # — once for the aggregates and again for the apply pass.
+        # — once for the aggregates and again for the apply pass (and the
+        # wave-writer filters the materialized records once per wave).
         extracted = extracted.materialize()
     if dedup in (True, "post"):
         extracted = dedup_by_url(extracted)
     if consistency:
-        resolved = CONS.first_wins_mappings(extracted)
-        seq_map = CONS.compute_sequence(extracted)
+        # On a resume, the pending rows must aggregate against the rows in
+        # the already-completed buckets too, or mappings/sequences diverge
+        # from what a fresh run over the full corpus produces. The written
+        # output carries exactly the projections the aggregates need; the
+        # crashed run computed its aggregates pre-write over the FULL
+        # input, so written values are globally correct and the union
+        # reconstructs that state.
+        agg_input = extracted
+        if out_dir:
+            import os as _os3
+
+            import ray.data as _rd
+            done = MAN.completed_buckets(out_dir, fingerprint)
+            done_files = []
+            for b in sorted(done):
+                bdir = f"{out_dir}/bucket={b}"
+                done_files += [f"{bdir}/{f}" for f in _os3.listdir(bdir)
+                               if f.endswith(".parquet")]
+            if done_files:
+                written = _rd.read_parquet(done_files, columns=[
+                    "url", "family_key", "period_end", "doc_kind",
+                    "mappings"])
+                agg_input = extracted.select_columns(
+                    ["url", "family_key", "period_end", "doc_kind",
+                     "mappings"]).union(written)
+        resolved = CONS.first_wins_mappings(agg_input)
+        seq_map = CONS.compute_sequence(agg_input)
         extracted = CONS.apply_all(extracted, resolved, seq_map)
 
     if out_dir:

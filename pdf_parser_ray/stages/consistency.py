@@ -90,39 +90,9 @@ def first_wins_mappings(extracted_ds) -> dict[tuple[str, str], str]:
 
 
 def apply_consistent_mappings(extracted_ds, resolved: dict[tuple[str, str], str]):
-    """Backfill empty canonicals from the family-global mapping table.
-
-    ``resolved`` is shipped once via the UDF closure (Ray serializes it into
-    the task spec — it is small); the rebuilt equivalent of the reference's
-    in-place backfill (``consistency.py:24-31``).
-    """
-    import ray
-
-    resolved_ref = ray.put(resolved)
-
-    def fix(batch: pa.Table) -> pa.Table:
-        table = ray.get(resolved_ref)
-        fams = batch["family_key"].to_pylist()
-        maps = batch["mappings"].to_pylist()
-        new_maps = []
-        changed = False
-        for fam, mp in zip(fams, maps):
-            row_new = []
-            for m in mp or []:
-                canon = m["canonical"]
-                if not canon:
-                    canon = table.get((fam, m["label"]), "")
-                    changed = changed or bool(canon)
-                row_new.append({"label": m["label"], "canonical": canon})
-            new_maps.append(row_new)
-        if not changed:
-            return batch
-        idx = batch.schema.get_field_index("mappings")
-        typ = batch.schema.field(idx).type
-        return batch.set_column(idx, batch.schema.field(idx),
-                                pa.array(new_maps, type=typ))
-
-    return extracted_ds.map_batches(fix, batch_format="pyarrow")
+    """Backfill empty canonicals from the family-global mapping table
+    (kept for the stage API; delegates to the fused apply pass)."""
+    return apply_all(extracted_ds, resolved, None)
 
 
 def compute_sequence(extracted_ds) -> dict[str, int]:

@@ -149,27 +149,19 @@ def cluster_pairs(pairs: list[tuple], ids: list) -> dict:
     return {x: find(x) for x in parent}
 
 
-def _pairs_from_buckets(bucket_ds, id_col: str) -> list[tuple]:
-    """All (a<b) pairs inside multi-member band buckets.
+def pairs_from_band_frame(df: "pd.DataFrame", id_col: str) -> list[tuple]:
+    """All (a<b) candidate pairs among rows sharing a band_key.
 
-    Vectorized: collect the (band_key, id) rows, keep only keys that occur
-    more than once (pandas ``duplicated`` — no per-group Python), and emit
-    pairs per surviving bucket (buckets are tiny by LSH design). A Ray
-    ``groupby(band_key).map_groups`` here costs one Python call per bucket
-    — O(docs × bands) calls — and dominated the near-dup wall time. At
-    10^12 docs the collect becomes a hash-partition by band_key with the
-    same duplicated-key filter per partition; the driver never needs the
-    non-colliding majority either way.
+    Vectorized duplicated-key filter first (no per-group Python for the
+    non-colliding majority); the inner loop touches only colliding
+    buckets, tiny by LSH design. At 10^12 docs the frame becomes a
+    hash-partition by band_key with the same filter per partition.
     """
-    df = bucket_ds.to_pandas()
     if df.empty:
         return []
-    dup_mask = df.duplicated("band_key", keep=False)
-    df = df[dup_mask]
-    if df.empty:
-        return []
+    dup = df[df.duplicated("band_key", keep=False)]
     pairs: set = set()
-    for _, members in df.groupby("band_key", sort=False)[id_col]:
+    for _, members in dup.groupby("band_key", sort=False)[id_col]:
         ids = sorted(members.tolist())
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -224,10 +216,10 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
                       concurrency=(1, 4)):
     """Full MinHash→LSH→verify→cluster pipeline.
 
-    Returns (clusters_df, sig_ds): clusters_df is a pandas DataFrame
-    ``(id, rep)`` for every input id (rep == id when unique); sig_ds is the
-    signatures Dataset (reusable). Signature estimation verifies candidates
-    (fraction of equal minhash components ≥ threshold).
+    Returns (clusters_df, sig_df): clusters_df is a pandas DataFrame
+    ``(id, rep)`` for every input id (rep == id when unique); sig_df is the
+    collected signatures frame (id_col, minhash_sig). Signature estimation
+    verifies candidates (fraction of equal minhash components ≥ threshold).
     """
     rows = num_perm // bands
     # The signature computation is the distributed stage (shingling is the
@@ -241,20 +233,14 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
             "text_col": text_col, "num_perm": num_perm, "k": k},
         batch_format="pandas", concurrency=concurrency).to_pandas()
 
-    bucket_df = _band_rows(sig_df, id_col, bands, rows)
-    dup = bucket_df[bucket_df.duplicated("band_key", keep=False)]
-    cand: set = set()
-    for _, members in dup.groupby("band_key", sort=False)[id_col]:
-        ids = sorted(members.tolist())
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                cand.add((ids[i], ids[j]))
+    cand = pairs_from_band_frame(_band_rows(sig_df, id_col, bands, rows),
+                                 id_col)
 
     verified: list[tuple] = []
     if cand:
         sig_map = {i: np.asarray(s) for i, s in
                    zip(sig_df[id_col], sig_df["minhash_sig"])}
-        for x, y in sorted(cand):
+        for x, y in cand:
             est = float((sig_map[x] == sig_map[y]).mean())
             if est >= threshold:
                 verified.append((x, y))
@@ -297,17 +283,10 @@ def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
             "band_key": (np.uint64(bi) << np.uint64(60))
             | ((sig_arr >> np.uint64(bi * width)) & np.uint64(mask)),
         }))
-    bucket_df = pd.concat(frames, ignore_index=True)
-    dup = bucket_df[bucket_df.duplicated("band_key", keep=False)]
-    cand: set = set()
-    for _, members in dup.groupby("band_key", sort=False)[id_col]:
-        mids = sorted(members.tolist())
-        for i in range(len(mids)):
-            for j in range(i + 1, len(mids)):
-                cand.add((mids[i], mids[j]))
+    cand = pairs_from_band_frame(pd.concat(frames, ignore_index=True), id_col)
 
     sig_map = dict(zip(ids_arr.tolist(), sig_arr.tolist()))
-    verified = [(x, y) for x, y in sorted(cand)
+    verified = [(x, y) for x, y in cand
                 if bin(sig_map[x] ^ sig_map[y]).count("1") <= max_hamming]
     rep = cluster_pairs(verified, ids_arr.tolist())
     return (pd.DataFrame({"id": list(rep), "rep": [rep[i] for i in rep]})
@@ -326,11 +305,9 @@ def ngram_jaccard_dedup(ds, text_col: str, id_col: str, *, k: int = 3,
 
     Texts are fetched only for candidate ids (a filtered projection), never
     broadcast wholesale."""
-    clusters, sig_ds = minhash_lsh_dedup(
+    clusters, _sig_df = minhash_lsh_dedup(
         ds, text_col, id_col, num_perm=num_perm, bands=bands, k=k,
         threshold=0.0)  # threshold 0 → candidates pass straight through
-    cand_pairs = [(r.id, r.rep) for r in clusters.itertuples()
-                  if r.id != r.rep]
     # expand clusters back to the raw pair list via reps
     by_rep: dict = {}
     for r in clusters.itertuples():

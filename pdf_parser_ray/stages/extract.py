@@ -112,10 +112,18 @@ def extract_dataset(ds, facts_path: str | None = None, *,
             num_cpus=num_cpus,
             **kwargs,
         )
+    kwargs = {}
+    if concurrency is not None:
+        # in task mode, concurrency caps concurrent tasks (an upper bound,
+        # not a reserved pool) — keeps the knob meaningful on both paths
+        kwargs["concurrency"] = (concurrency[1]
+                                 if isinstance(concurrency, tuple)
+                                 else concurrency)
     return ds.map_batches(
         _extract_batch,
         fn_kwargs={"facts_path": facts_path},
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=num_cpus,
+        **kwargs,
     )

@@ -89,37 +89,100 @@ def resume_filter(ds, out_dir: str, n_buckets: int = 64,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def clean_incomplete_buckets(out_dir: str, fingerprint: str = "") -> None:
+    """Remove bucket dirs without a valid manifest (crashed write, or a
+    changed-input fingerprint). Without this, re-writing a bucket appends a
+    second complete file set next to the crashed run's fragments and the
+    bucket silently holds duplicate rows."""
+    import shutil
+
+    if not os.path.isdir(out_dir):
+        return
+    done = completed_buckets(out_dir, fingerprint)
+    for name in os.listdir(out_dir):
+        if not name.startswith("bucket="):
+            continue
+        if int(name.split("=", 1)[1]) not in done:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+
+
+def _stamp_bucket(out_dir: str, name: str, input_fingerprint: str) -> tuple[int, int]:
+    import pyarrow.parquet as pq
+
+    bdir = os.path.join(out_dir, name)
+    rows = bytes_ = nfiles = 0
+    for f in os.listdir(bdir):
+        if f.endswith(".parquet"):
+            rows += pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+            bytes_ += os.path.getsize(os.path.join(bdir, f))
+            nfiles += 1
+    with open(os.path.join(bdir, "_manifest.json"), "w") as fh:
+        json.dump({"bucket": int(name.split("=", 1)[1]), "rows": rows,
+                   "bytes": bytes_, "files": nfiles,
+                   "input_fingerprint": input_fingerprint}, fh)
+    return rows, 1
+
+
 def write_partitioned(extracted_ds, out_dir: str, n_buckets: int = 64,
                       input_fingerprint: str = "",
-                      run_metrics: dict | None = None) -> dict:
-    """Write one directory per bucket + manifest sidecars.
+                      run_metrics: dict | None = None,
+                      n_waves: int = 8) -> dict:
+    """Write one directory per bucket + manifest sidecars, in WAVES.
 
-    Uses ``write_parquet(partition_cols=["bucket"])`` so each bucket is its
-    own directory (resumable, parallel-read friendly — never one giant
-    file), then stamps manifests from the written files. Returns summary
-    stats {rows, buckets}.
+    Each wave writes a contiguous slice of buckets and stamps their
+    manifests immediately, so a killed run loses at most one wave of work
+    instead of the whole write (crash-safe incremental checkpointing; a
+    bucket is only ever counted when its manifest exists, and
+    :func:`clean_incomplete_buckets` removes crashed fragments before any
+    re-write). Bucketed dirs — never one giant file.
     """
     ds = add_bucket_column(extracted_ds, n_buckets)
-    ds.write_parquet(out_dir, partition_cols=["bucket"])
+    pre_done = completed_buckets(out_dir, input_fingerprint)
+
+    # bucket row counts up front: writing an EMPTY dataset with
+    # partition_cols drops a stray file at the output root, breaking
+    # hive-partition reads — empty buckets/waves must be skipped entirely
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        import collections
+        c = collections.Counter(batch["bucket"].to_pylist())
+        return pa.table({"bucket": list(c), "n": list(c.values())})
+
+    counts: dict[int, int] = {}
+    for r in ds.select_columns(["bucket"]).map_batches(
+            bucket_counts, batch_format="pyarrow").take_all():
+        counts[r["bucket"]] = counts.get(r["bucket"], 0) + r["n"]
+
+    n_waves = max(1, min(n_waves, n_buckets))
+    per_wave = (n_buckets + n_waves - 1) // n_waves
+    for wi in range(n_waves):
+        lo, hi = wi * per_wave, min((wi + 1) * per_wave, n_buckets)
+        wave_buckets = [b for b in range(lo, hi)
+                        if b not in pre_done and counts.get(b, 0) > 0]
+        if not wave_buckets:
+            continue
+        wave_set = set(wave_buckets)
+
+        def keep(batch: pa.Table, _ws=wave_set) -> pa.Table:
+            mask = pa.array([b in _ws for b in batch["bucket"].to_pylist()])
+            return batch.filter(mask)
+
+        wave_ds = ds.map_batches(keep, batch_format="pyarrow")
+        wave_ds.write_parquet(out_dir, partition_cols=["bucket"])
+        for b in wave_buckets:
+            name = f"bucket={b}"
+            if os.path.isdir(os.path.join(out_dir, name)):
+                _stamp_bucket(out_dir, name, input_fingerprint)
 
     total_rows = 0
     n_done = 0
     for name in sorted(os.listdir(out_dir)):
         if not name.startswith("bucket="):
             continue
-        bdir = os.path.join(out_dir, name)
-        rows = bytes_ = nfiles = 0
-        for f in os.listdir(bdir):
-            if f.endswith(".parquet"):
-                import pyarrow.parquet as pq
-                rows += pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
-                bytes_ += os.path.getsize(os.path.join(bdir, f))
-                nfiles += 1
-        with open(os.path.join(bdir, "_manifest.json"), "w") as fh:
-            json.dump({"bucket": int(name.split("=", 1)[1]), "rows": rows,
-                       "bytes": bytes_, "files": nfiles,
-                       "input_fingerprint": input_fingerprint}, fh)
-        total_rows += rows
+        manifest = os.path.join(out_dir, name, "_manifest.json")
+        if not os.path.exists(manifest):
+            continue
+        with open(manifest) as fh:
+            total_rows += json.load(fh)["rows"]
         n_done += 1
     summary = {"rows": total_rows, "buckets": n_done}
     # run-level lineage record: config + metrics alongside the buckets

@@ -71,7 +71,12 @@ def knn_topk(ds, queries: dict, *, vec_col: str, id_col: str, k: int = 5,
         concurrency=concurrency)
 
     def merge(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().nlargest(k, "cosine")
+        # deterministic under cosine ties: smaller neighbor_id wins, the
+        # same ORDER BY cosine DESC, vec_id rule the oracle uses
+        df = (group.to_pandas()
+              .sort_values(["cosine", "neighbor_id"],
+                           ascending=[False, True], kind="mergesort")
+              .head(k))
         return pa.Table.from_pandas(df, preserve_index=False)
 
     merged = cands.groupby("query_id").map_groups(merge, batch_format="pyarrow")

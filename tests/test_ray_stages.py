@@ -251,3 +251,42 @@ def test_extraction_actor_pool_path(corpus_dir, ray_session):
                                  use_actors=True,
                                  concurrency=(1, 2)).take_all()}
     assert task_out == actor_out
+
+
+def test_crash_resume_no_duplicates(corpus_dir, tmp_path, ray_session):
+    """A run killed before manifest stamping must resume without
+    duplicating rows, and the resumed consistency values must match a
+    fresh full run (code-review findings: stale fragments + remainder-only
+    aggregates)."""
+    from pdf_parser_ray.pipelines.flagship import run_flagship
+    cdir, fpath = corpus_dir
+
+    clean_dir = str(tmp_path / "clean")
+    run_flagship(cdir, fpath, out_dir=clean_dir, n_buckets=8,
+                 concurrency=(1, 2))
+    clean = pq.read_table(clean_dir).to_pylist()
+    clean_seq = {r["url"]: r["filing_sequence"] for r in clean}
+
+    crash_dir = str(tmp_path / "crash")
+    run_flagship(cdir, fpath, out_dir=crash_dir, n_buckets=8,
+                 concurrency=(1, 2))
+    # simulate a crash before stamping two buckets: manifests removed,
+    # stale parquet fragments left behind
+    import glob
+    for b in (1, 3):
+        os.remove(os.path.join(crash_dir, f"bucket={b}", "_manifest.json"))
+    stale = set(glob.glob(os.path.join(crash_dir, "bucket=1", "*.parquet")))
+
+    summary = run_flagship(cdir, fpath, out_dir=crash_dir, n_buckets=8,
+                           concurrency=(1, 2))
+    resumed = pq.read_table(crash_dir).to_pylist()
+    # no duplicate urls, same row count as the clean run
+    urls = [r["url"] for r in resumed]
+    assert len(urls) == len(set(urls)) == len(clean)
+    assert summary["rows"] == len(clean)
+    # stale fragments were cleaned, not appended to
+    assert not stale & set(glob.glob(
+        os.path.join(crash_dir, "bucket=1", "*.parquet")))
+    # consistency outputs identical to the fresh full run
+    for r in resumed:
+        assert r["filing_sequence"] == clean_seq[r["url"]], r["url"]
