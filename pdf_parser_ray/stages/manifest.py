@@ -126,7 +126,7 @@ def _stamp_bucket(out_dir: str, name: str, input_fingerprint: str) -> tuple[int,
 def write_partitioned(extracted_ds, out_dir: str, n_buckets: int = 64,
                       input_fingerprint: str = "",
                       run_metrics: dict | None = None,
-                      n_waves: int = 8) -> dict:
+                      n_waves: int = 4) -> dict:
     """Write one directory per bucket + manifest sidecars, in WAVES.
 
     Each wave writes a contiguous slice of buckets and stamps their
@@ -134,7 +134,11 @@ def write_partitioned(extracted_ds, out_dir: str, n_buckets: int = 64,
     instead of the whole write (crash-safe incremental checkpointing; a
     bucket is only ever counted when its manifest exists, and
     :func:`clean_incomplete_buckets` removes crashed fragments before any
-    re-write). Bucketed dirs — never one giant file.
+    re-write). Bucketed dirs — never one giant file. Each wave re-scans
+    the materialized records once (~3-4 s per wave at 100k docs), so the
+    wave count trades checkpoint granularity against write overhead; at
+    cluster scale the clean implementation is a custom datasink with
+    per-bucket completion callbacks.
     """
     ds = add_bucket_column(extracted_ds, n_buckets)
     pre_done = completed_buckets(out_dir, input_fingerprint)
@@ -162,9 +166,10 @@ def write_partitioned(extracted_ds, out_dir: str, n_buckets: int = 64,
             continue
         wave_set = set(wave_buckets)
 
-        def keep(batch: pa.Table, _ws=wave_set) -> pa.Table:
-            mask = pa.array([b in _ws for b in batch["bucket"].to_pylist()])
-            return batch.filter(mask)
+        wave_arr = pa.array(sorted(wave_set), type=pa.int32())
+
+        def keep(batch: pa.Table, _wa=wave_arr) -> pa.Table:
+            return batch.filter(pc.is_in(batch["bucket"], value_set=_wa))
 
         wave_ds = ds.map_batches(keep, batch_format="pyarrow")
         wave_ds.write_parquet(out_dir, partition_cols=["bucket"])
