@@ -114,8 +114,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey""",
         "q08_events_props": r"""
             SELECT event_type,
-                   SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
-                   MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
+                   CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
             FROM events GROUP BY 1 ORDER BY 1""",
         "q09_events_window": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
@@ -144,9 +144,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY e.event_id""",
         "q10_doc_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM({_TOKEN_CNT}) AS total_tokens,
-                   SUM(length(text)) AS total_chars,
-                   SUM({_BPE_CNT}) AS total_bpe
+                   CAST(SUM({_TOKEN_CNT}) AS BIGINT) AS total_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(SUM({_BPE_CNT}) AS BIGINT) AS total_bpe
             FROM documents GROUP BY 1 ORDER BY 1""",
         "q11_lang_pred": r"""
             WITH s AS (

@@ -34,9 +34,14 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    """Width-normalize WITHIN a dtype kind only (float32→float64,
+    int32→int64). Never cast int→float: the driver's value-hash is
+    type-sensitive across the int/float divide, so the local harness must
+    expose that divergence (ADVICE r1: q08/q10 were masked by a blanket
+    float64 cast)."""
     out = df.copy()
     for c in out.columns:
-        if out[c].dtype.kind in "if":
+        if out[c].dtype.kind == "f":
             out[c] = out[c].astype("float64").round(6)
         elif out[c].dtype.kind in "iu":
             out[c] = out[c].astype("int64")
