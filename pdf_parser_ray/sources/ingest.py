@@ -27,10 +27,15 @@ CORPUS_SCHEMA = pa.schema([
 
 
 def _to_corpus_rows(batch: dict, *, url_prefix: str, default_lang: str,
-                    fixed_ts: str | None) -> pa.Table:
+                    fixed_ts: str | None, input_dir: str) -> pa.Table:
     """bytes+path → corpus row. ``warc_ts`` comes from the file mtime (or a
     fixed timestamp for deterministic runs) — never wall clock, so repeated
-    ingests of the same tree are byte-identical."""
+    ingests of the same tree are byte-identical. The url carries the full
+    path RELATIVE to the input root (URL-escaped), not the basename —
+    same-named files in different subdirectories must stay distinct or the
+    downstream url-dedup silently drops all but one (ADVICE r1)."""
+    from urllib.parse import quote
+
     rows = []
     for path, payload in zip(batch["path"], batch["bytes"]):
         if fixed_ts is not None:
@@ -38,7 +43,7 @@ def _to_corpus_rows(batch: dict, *, url_prefix: str, default_lang: str,
         else:
             ts = datetime.fromtimestamp(os.path.getmtime(path),
                                         tz=timezone.utc).replace(tzinfo=None)
-        rel = os.path.basename(path)
+        rel = quote(os.path.relpath(path, input_dir).replace(os.sep, "/"))
         rows.append({
             "url": f"{url_prefix.rstrip('/')}/{rel}",
             "warc_ts": ts,
@@ -66,6 +71,6 @@ def ingest_files(input_dir: str, staging_dir: str, *,
     corpus = ds.map_batches(
         _to_corpus_rows, batch_format="numpy",
         fn_kwargs={"url_prefix": url_prefix, "default_lang": default_lang,
-                   "fixed_ts": fixed_ts})
+                   "fixed_ts": fixed_ts, "input_dir": input_dir})
     corpus.write_parquet(staging_dir)
     return staging_dir

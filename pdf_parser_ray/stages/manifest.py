@@ -17,16 +17,58 @@ from __future__ import annotations
 
 import json
 import os
-import zlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# FNV-64 prime powers (cycle 64): position-dependent byte weights for the
+# vectorized polynomial hash below (built with Python-int pow to avoid
+# numpy scalar-overflow warnings; uint64 wraparound downstream is intended).
+_POW = np.array([pow(0x100000001B3, i, 1 << 64) for i in range(64)],
+                dtype=np.uint64)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (same construction as stages/dedup.py)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
 
 def url_bucket(urls: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
-    """Vectorized-ish stable bucket: crc32(url) % n_buckets."""
-    return pa.array([zlib.crc32(u.encode()) % n_buckets
-                     for u in urls.to_pylist()], type=pa.int32())
+    """Stable bucket id per url, fully vectorized.
+
+    Zero-copy view of the Arrow string buffers → per-byte weighted
+    polynomial hash (position-dependent FNV-prime powers, uint64 wrap) →
+    ``np.add.reduceat`` per row → splitmix64 finalize → ``% n_buckets``.
+    No per-row Python (this runs in the resume filter and once per write
+    wave over every row — the r1 crc32 loop was the hot spot there).
+    Deterministic across processes/runs: pure arithmetic, no seed."""
+    arr = urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls
+    n = len(arr)
+    if n == 0:
+        return pa.array([], type=pa.int32())
+    la = arr.cast(pa.large_binary())
+    off_buf = np.frombuffer(la.buffers()[1], dtype=np.int64)
+    offsets = off_buf[la.offset:la.offset + n + 1]
+    data = np.frombuffer(la.buffers()[2], dtype=np.uint8)
+    seg = data[offsets[0]:offsets[-1]].astype(np.uint64)
+    rel = (offsets - offsets[0]).astype(np.int64)
+    lengths = np.diff(rel)
+    sums = np.zeros(n, dtype=np.uint64)
+    if seg.size:
+        pos = np.arange(seg.size, dtype=np.int64) - np.repeat(rel[:-1], lengths)
+        weighted = (seg + np.uint64(1)) * _POW[pos & 63]
+        nz = lengths > 0
+        sums[nz] = np.add.reduceat(weighted, rel[:-1][nz])
+    h = _mix64(sums ^ (lengths.astype(np.uint64) << np.uint64(32)))
+    return pa.array((h % np.uint64(n_buckets)).astype(np.int32),
+                    type=pa.int32())
 
 
 def add_bucket_column(ds, n_buckets: int = 64):
