@@ -276,22 +276,32 @@ def _pair_recall(clusters: pd.DataFrame, id_name: str) -> pd.DataFrame:
     })
 
 
+def _doubled_ids(sf_dir: str, table: str = "documents",
+                 id_col: str = "doc_id") -> list:
+    """The doubled corpus's id universe, from a columnar id-only read —
+    saves the dedup stages a whole extra pass over the derived dataset."""
+    base = pd.read_parquet(f"{sf_dir}/{table}.parquet",
+                           columns=[id_col])[id_col].tolist()
+    return base + [i + DUP_OFFSET for i in base]
+
+
 def q21_minhash_dedup(sf_dir: str) -> pd.DataFrame:
-    clusters, _ = D.minhash_lsh_dedup(
+    clusters = D.minhash_lsh_dedup(
         _doubled_documents(sf_dir, perturb=True), "text", "doc_id",
-        threshold=0.7)
+        threshold=0.7, ids=_doubled_ids(sf_dir))
     return _pair_recall(clusters, "doc_id")
 
 
 def q22_simhash_dedup(sf_dir: str) -> pd.DataFrame:
     out = D.simhash_dedup(_doubled_documents(sf_dir), "text", "doc_id",
-                          max_hamming=3)
+                          max_hamming=3, ids=_doubled_ids(sf_dir))
     return _pair_recall(out, "doc_id")
 
 
 def q23_ngram_jaccard_dedup(sf_dir: str) -> pd.DataFrame:
     out = D.ngram_jaccard_dedup(_doubled_documents(sf_dir, perturb=True),
-                                "text", "doc_id", threshold=0.7)
+                                "text", "doc_id", threshold=0.7,
+                                ids=_doubled_ids(sf_dir))
     return _pair_recall(out, "doc_id")
 
 
@@ -311,7 +321,8 @@ def q24_embedding_dedup(sf_dir: str) -> pd.DataFrame:
     # (mixed arrow+pandas blocks break iter_batches downstream)
     base_pd = base.map_batches(lambda df: df, batch_format="pandas")
     ds = base_pd.union(base_pd.map_batches(shift, batch_format="pandas"))
-    out = D.embedding_dedup(ds, "embedding", "vec_id", threshold=0.999999)
+    out = D.embedding_dedup(ds, "embedding", "vec_id", threshold=0.999999,
+                            ids=_doubled_ids(sf_dir, "embeddings", "vec_id"))
     return _pair_recall(out, "vec_id")
 
 

@@ -5,22 +5,40 @@ The reference has **no** dedup (each PDF is processed independently,
 SURVEY.md §2.5 A9); at web scale it is mandatory, so these are first-class
 stages over any Dataset with an id column and a text (or embedding) column.
 
-Design for 100 TB:
+Architecture (the banded-shuffle path, r2 — no driver-side signature
+collects):
 
 * Exact dedup is a hash-shuffle ``groupby(fingerprint)`` keeping the min id
   per group — one all-to-all over a tiny ``(fingerprint, id)`` projection.
-* MinHash/SimHash emit ``(band_key, id)`` rows — ``O(docs × bands)`` small
-  rows — and shuffle *those*, never the text. Candidate pairs come from
-  band buckets (``groupby(band_key)``); only candidates are verified.
-* Verification joins signatures (not texts) for MinHash, texts only for the
-  n-gram Jaccard variant, and runs on the candidate set, which banding
-  keeps a tiny fraction of the corpus. The final union-find over verified
-  pairs runs driver-side: the pair list is small by construction (near-dup
-  clusters, not the corpus). If a pathological corpus makes it large, the
-  scale path is iterative label propagation over a ``groupby(node)`` — the
-  hook is `cluster_pairs`, swap it out.
+* MinHash/SimHash/SRP emit ``(band_key, id, sig)`` rows in the SAME
+  map_batches that computes the signature (fused, one pass over text) and
+  shuffle *those*, never the text. The shuffle is a
+  ``groupby(band_part)`` where ``band_part = band_key % n_parts`` — a
+  deliberately COARSENED key: every row of a given band_key trivially lands
+  in one partition, but the executor sees ``n_parts`` groups instead of
+  ``docs × bands`` groups (Ray's ``map_groups`` costs ~0.25 ms of Python
+  per group; at 10^9 docs per-key groups would melt). Within a partition,
+  bucket detection + pair emission + verification are vectorized
+  numpy/pandas over the whole partition frame.
+* Verification runs inside the partition: MinHash compares full signatures
+  (carried as one 8·num_perm-byte payload per row), SimHash compares
+  64-bit hamming distance. The verified pair list — small by LSH design —
+  is the only thing collected; union-find runs over it driver-side. If a
+  pathological corpus makes the pair list large, swap `cluster_pairs` for
+  iterative label propagation over a ``groupby(node)``.
+* n-gram Jaccard and embedding-cosine verify exact similarity for
+  candidate pairs via :func:`verify_pairs_distributed`: candidate ids are
+  hash-assigned to verify partitions, each doc's payload (shingle set /
+  normalized vector) is emitted once per partition that needs it, and the
+  exact check runs inside ``groupby(vpart)`` — the corpus itself is never
+  collected and no full matrix is broadcast.
 * All hashing is seeded/stable (crc32 + fixed multipliers) — same corpus →
   same clusters on any cluster size, which resume and the oracle need.
+* Skew note: a hot band bucket (e.g. a boilerplate-only band over a
+  template-heavy crawl) concentrates in one partition. The coarsened key
+  keeps partition sizes ~uniform for *distinct* keys; a single giant
+  bucket should be guarded upstream by exact-dedup first (templates are
+  exact dups) or by capping bucket size before pair emission.
 """
 
 from __future__ import annotations
@@ -124,6 +142,15 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 arrays (numpy 1.x has no
+    bitwise_count): byte-table lookup over the raw view."""
+    return _POPCOUNT8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Candidate generation + clustering
 # ---------------------------------------------------------------------------
@@ -149,24 +176,144 @@ def cluster_pairs(pairs: list[tuple], ids: list) -> dict:
     return {x: find(x) for x in parent}
 
 
-def pairs_from_band_frame(df: "pd.DataFrame", id_col: str) -> list[tuple]:
-    """All (a<b) candidate pairs among rows sharing a band_key.
+def bucket_pairs(keys: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Unique candidate pairs (lo, hi) among rows sharing a key.
 
-    Vectorized duplicated-key filter first (no per-group Python for the
-    non-colliding majority); the inner loop touches only colliding
-    buckets, tiny by LSH design. At 10^12 docs the frame becomes a
-    hash-partition by band_key with the same filter per partition.
-    """
+    Fully vectorized for the dominant size-2 buckets (sort → adjacent-equal
+    mask); only buckets with >2 members hit a Python loop, and those are
+    rare by LSH design. Returns an (n, 2) int64 array."""
+    if len(keys) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    k2, i2 = keys[order], ids[order].astype(np.int64)
+    change = np.r_[True, k2[1:] != k2[:-1]]
+    run = np.cumsum(change) - 1
+    sizes = np.bincount(run)
+    starts = np.flatnonzero(change)
+    s2 = starts[sizes == 2]
+    a = [i2[s2]]
+    b = [i2[s2 + 1]]
+    for bi in np.flatnonzero(sizes > 2):
+        members = np.unique(i2[starts[bi]:starts[bi] + sizes[bi]])
+        if len(members) < 2:
+            continue
+        xi, yi = np.triu_indices(len(members), k=1)
+        a.append(members[xi])
+        b.append(members[yi])
+    aa = np.concatenate(a)
+    bb = np.concatenate(b)
+    lo, hi = np.minimum(aa, bb), np.maximum(aa, bb)
+    keep = lo != hi
+    if not keep.all():
+        lo, hi = lo[keep], hi[keep]
+    if len(lo) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    return np.unique(np.stack([lo, hi], axis=1), axis=0)
+
+
+_EMPTY_PAIRS = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+
+
+def _collect_pairs(pair_ds) -> np.ndarray:
+    """Collect the (a, b) verified/candidate pair dataset — small by LSH
+    design — and dedupe across partitions (one pair can collide in several
+    bands, each landing in a different partition)."""
+    df = pair_ds.to_pandas()
     if df.empty:
-        return []
-    dup = df[df.duplicated("band_key", keep=False)]
-    pairs: set = set()
-    for _, members in dup.groupby("band_key", sort=False)[id_col]:
-        ids = sorted(members.tolist())
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
-    return sorted(pairs)
+        return np.empty((0, 2), dtype=np.int64)
+    arr = df[["a", "b"]].to_numpy(dtype=np.int64)
+    return np.unique(arr, axis=0)
+
+
+def _ids_of(ds, id_col: str, ids=None) -> list:
+    """All ids (the per-id cluster table is the OUTPUT, so an O(N) id
+    projection is inherent to the result, not a scale smell). Callers that
+    already know the id universe pass ``ids`` to skip a whole extra pass
+    over the (possibly transform-derived) input dataset."""
+    if ids is not None:
+        return list(ids)
+    return ds.select_columns([id_col]).to_pandas()[id_col].tolist()
+
+
+def _clusters_frame(pairs: np.ndarray, ids: list) -> pd.DataFrame:
+    rep = cluster_pairs([tuple(p) for p in pairs], ids)
+    return (pd.DataFrame({"id": list(rep), "rep": [rep[i] for i in rep]})
+            .sort_values("id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact verification of candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def verify_pairs_distributed(ds, pairs: np.ndarray, id_col: str,
+                             payload_batch_fn, pair_ok_fn,
+                             *, n_parts: int = 32) -> np.ndarray:
+    """Exact-verify candidate pairs without collecting the corpus.
+
+    Each pair is hash-assigned to a verify partition; each candidate doc's
+    payload (computed batch-wise by ``payload_batch_fn``) is emitted once
+    per partition that references it (usually one). ``groupby(vpart)``
+    co-locates both payloads of every pair; ``pair_ok_fn(pa_payload,
+    pb_payload)`` runs inside the group. Only the verified (a, b) list
+    comes back — bounded by the candidate count, which banding keeps tiny
+    relative to the corpus.
+
+    ``payload_batch_fn(sub_df) -> list[bytes]`` maps a filtered batch
+    (id, …) to one packed payload per row (bytes travel as Arrow binary
+    through the shuffle; decode inside ``pair_ok_fn``).
+    """
+    import ray
+
+    if len(pairs) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    n_parts = max(1, min(n_parts, len(pairs)))
+    ppart = (pairs[:, 0] * 1000003 + pairs[:, 1]) % n_parts
+    part_pairs: dict[int, list[tuple]] = {}
+    id_parts: dict[int, set[int]] = {}
+    for (x, y), p in zip(pairs.tolist(), ppart.tolist()):
+        part_pairs.setdefault(p, []).append((x, y))
+        id_parts.setdefault(x, set()).add(p)
+        id_parts.setdefault(y, set()).add(p)
+    part_pairs_ref = ray.put(part_pairs)
+    id_parts_ref = ray.put({i: sorted(ps) for i, ps in id_parts.items()})
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        assign = ray.get(id_parts_ref)
+        sub = df[df[id_col].isin(assign)]
+        if sub.empty:
+            return pd.DataFrame({"vpart": pd.Series(dtype="int64"),
+                                 "pid": pd.Series(dtype="int64"),
+                                 "payload": pd.Series(dtype="object")})
+        payloads = payload_batch_fn(sub)
+        parts, pids, plds = [], [], []
+        for pid, pld in zip(sub[id_col].tolist(), payloads):
+            for p in assign[pid]:
+                parts.append(p)
+                pids.append(pid)
+                plds.append(pld)
+        return pd.DataFrame({"vpart": pd.Series(parts, dtype="int64"),
+                             "pid": pd.Series(pids, dtype="int64"),
+                             "payload": pd.Series(plds, dtype="object")})
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return _EMPTY_PAIRS.copy()
+        by_id = dict(zip(group["pid"], group["payload"]))
+        todo = ray.get(part_pairs_ref).get(int(group["vpart"].iloc[0]), [])
+        ok_a, ok_b = [], []
+        for x, y in todo:
+            px, py = by_id.get(x), by_id.get(y)
+            if px is not None and py is not None and pair_ok_fn(px, py):
+                ok_a.append(x)
+                ok_b.append(y)
+        return pd.DataFrame({"a": pd.Series(ok_a, dtype="int64"),
+                             "b": pd.Series(ok_b, dtype="int64")})
+
+    verified = (ds.map_batches(emit, batch_format="pandas")
+                .groupby("vpart").map_groups(verify, batch_format="pandas"))
+    return _collect_pairs(verified)
 
 
 # ---------------------------------------------------------------------------
@@ -174,81 +321,164 @@ def pairs_from_band_frame(df: "pd.DataFrame", id_col: str) -> list[tuple]:
 # ---------------------------------------------------------------------------
 
 
-class MinHashSignatures:
-    """Actor UDF: adds a minhash signature column (list<uint64-as-int64>).
+class MinHashBandRows:
+    """Actor/task UDF: text batch → LSH band rows, one fused pass.
 
-    Permutation params are built once per actor in ``__init__``."""
+    Output rows: ``(id, band_key, band_part, sig)`` — ``sig`` is the full
+    signature packed to bytes (8·num_perm B, shared object across the
+    doc's band rows). Permutation params build once per worker."""
 
-    def __init__(self, text_col: str, num_perm: int = 64, k: int = 3,
-                 seed: int = 13):
+    def __init__(self, text_col: str, id_col: str, num_perm: int = 64,
+                 bands: int = 16, k: int = 3, seed: int = 13,
+                 n_parts: int = 64):
         self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows = num_perm // bands
         self.k = k
+        self.n_parts = n_parts
         self.a, self.b = _perm_params(num_perm, seed)
 
+    def _signatures(self, texts) -> np.ndarray:
+        sig = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sig[i] = minhash_signature(shingle_hashes(t, self.k),
+                                       self.a, self.b)
+        return sig
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = [minhash_signature(shingle_hashes(t, self.k), self.a, self.b)
-                .astype(np.int64).tolist()
-                for t in df[self.text_col].fillna("")]
-        df = df.copy()
-        df["minhash_sig"] = sigs
-        return df
+        if df.empty:
+            return pd.DataFrame({self.id_col: pd.Series(dtype="int64"),
+                                 "band_key": pd.Series(dtype="uint64"),
+                                 "band_part": pd.Series(dtype="int64"),
+                                 "sig": pd.Series(dtype="object")})
+        sig = self._signatures(df[self.text_col].fillna("").tolist())
+        keys = band_keys_from_sig(sig, self.bands, self.rows)
+        n = sig.shape[0]
+        # carry the signature truncated to uint32: the verifier only tests
+        # component-wise EQUALITY, and 32-bit truncations of 61-bit minhash
+        # values collide with prob 2^-32 per component — halves the
+        # band-row shuffle volume for free
+        sig_bytes = np.array([s.astype(np.uint32).tobytes() for s in sig],
+                             dtype=object)
+        return pd.DataFrame({
+            self.id_col: np.repeat(df[self.id_col].to_numpy(), self.bands),
+            "band_key": keys.ravel(),
+            "band_part": (keys.ravel() % np.uint64(self.n_parts))
+            .astype(np.int64),
+            "sig": np.repeat(sig_bytes, self.bands),
+        })
 
 
-def _band_rows(df: pd.DataFrame, id_col: str, bands: int, rows: int) -> pd.DataFrame:
-    """Vectorized banding: (docs × num_perm) signature matrix → one mixed
-    uint64 band key per (doc, band) via numpy, no per-doc Python loop."""
-    if df.empty:
-        return pd.DataFrame({id_col: [], "band_key": []})
-    sig = np.stack([np.asarray(s, dtype=np.int64) for s in df["minhash_sig"]])
+def band_keys_from_sig(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(n, num_perm) signature matrix → (n, bands) mixed uint64 band keys;
+    numpy throughout (``rows`` is a tiny fixed loop with vector ops inside)."""
     n = sig.shape[0]
-    chunks = sig.reshape(n, bands, rows).astype(np.uint64)
+    chunks = sig.reshape(n, bands, rows)
     mixed = np.zeros((n, bands), dtype=np.uint64)
-    for ri in range(rows):  # rows is 4 — a fixed tiny loop, vector ops inside
+    for ri in range(rows):
         mixed = _mix64(mixed ^ chunks[:, :, ri])
     band_idx = np.broadcast_to(np.arange(bands, dtype=np.uint64), (n, bands))
-    keys = (mixed ^ _mix64(band_idx.copy())).ravel()
-    ids = np.repeat(df[id_col].to_numpy(), bands)
-    return pd.DataFrame({id_col: ids, "band_key": keys})
+    return mixed ^ _mix64(band_idx.copy())
+
+
+def _minhash_verify_partition(id_col: str, num_perm: int, threshold: float):
+    """Partition verifier: vectorized bucket-pair emission + signature-
+    agreement estimate over the whole partition frame."""
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        pairs = bucket_pairs(group["band_key"].to_numpy(),
+                             group[id_col].to_numpy())
+        if len(pairs) == 0:
+            return _EMPTY_PAIRS.copy()
+        ids = group[id_col].to_numpy(dtype=np.int64)
+        # decode signatures ONLY for ids that occur in a pair — the
+        # frombuffer loop is the partition's hot spot and pair ids are a
+        # tiny subset of the partition's rows
+        uid = np.unique(pairs)
+        order = np.argsort(ids, kind="stable")
+        row_idx = order[np.searchsorted(ids[order], uid)]
+        sig_vals = group["sig"].to_numpy()
+        sigmat = np.stack([np.frombuffer(sig_vals[i], dtype=np.uint32)
+                           for i in row_idx])
+        ai = np.searchsorted(uid, pairs[:, 0])
+        bi = np.searchsorted(uid, pairs[:, 1])
+        est = (sigmat[ai] == sigmat[bi]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame({"a": pairs[keep, 0], "b": pairs[keep, 1]})
+    return verify
+
+
+_BAND_UDF_CACHE: dict = {}
+
+
+def _minhash_band_fn(df: pd.DataFrame, **kw) -> pd.DataFrame:
+    """Task-pool wrapper: per-worker cached :class:`MinHashBandRows` (perm
+    params built once per worker process). Task mode fuses with the read
+    and uses every core — a fixed actor pool here capped the expensive
+    shingling stage (r1 gotcha: small actor pools starve/underuse)."""
+    key = tuple(sorted(kw.items()))
+    udf = _BAND_UDF_CACHE.get(key)
+    if udf is None:
+        udf = _BAND_UDF_CACHE[key] = MinHashBandRows(**kw)
+    return udf(df)
+
+
+def minhash_band_dataset(ds, text_col: str, id_col: str, *,
+                         num_perm: int = 64, bands: int = 16, k: int = 3,
+                         seed: int = 13, n_parts: int = 64,
+                         concurrency=None):
+    """The fused signature→band-row stage shared by MinHash dedup and the
+    n-gram Jaccard candidate generator (kills the r1 double pass).
+
+    ``concurrency`` is accepted for API compatibility but the stage runs
+    as a task pool (see :func:`_minhash_band_fn`)."""
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _minhash_band_fn, fn_kwargs={
+            "text_col": text_col, "id_col": id_col, "num_perm": num_perm,
+            "bands": bands, "k": k, "seed": seed, "n_parts": n_parts},
+        batch_format="pandas")
 
 
 def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
                       bands: int = 16, k: int = 3, threshold: float = 0.8,
-                      concurrency=(1, 4)):
-    """Full MinHash→LSH→verify→cluster pipeline.
+                      concurrency=None, n_parts: int = 64,
+                      ids=None) -> pd.DataFrame:
+    """Full MinHash→LSH→verify→cluster pipeline, banded-shuffle shape.
 
-    Returns (clusters_df, sig_df): clusters_df is a pandas DataFrame
-    ``(id, rep)`` for every input id (rep == id when unique); sig_df is the
-    collected signatures frame (id_col, minhash_sig). Signature estimation
-    verifies candidates (fraction of equal minhash components ≥ threshold).
-    """
-    rows = num_perm // bands
-    # The signature computation is the distributed stage (shingling is the
-    # compute); the signature frame itself is docs × num_perm ints — tiny
-    # relative to the text — so it collects once and banding / candidate
-    # verification run vectorized driver-side. At 10^12 docs the collect
-    # becomes: shuffle the (band_key, id) rows by band_key, verify within
-    # partitions, union-find the (small) verified pair list — same math.
-    sig_df = ds.select_columns([id_col, text_col]).map_batches(
-        MinHashSignatures, fn_constructor_kwargs={
-            "text_col": text_col, "num_perm": num_perm, "k": k},
-        batch_format="pandas", concurrency=concurrency).to_pandas()
+    One pass over text (fused sig+banding) → ``groupby(band_part)`` shuffle
+    of the band rows → in-partition vectorized pair emission + signature
+    verification → driver union-find over the verified pair list only.
+    Returns a pandas DataFrame ``(id, rep)`` for every input id."""
+    band_ds = minhash_band_dataset(
+        ds, text_col, id_col, num_perm=num_perm, bands=bands, k=k,
+        n_parts=n_parts, concurrency=concurrency)
+    pair_ds = band_ds.groupby("band_part").map_groups(
+        _minhash_verify_partition(id_col, num_perm, threshold),
+        batch_format="pandas")
+    verified = _collect_pairs(pair_ds)
+    return _clusters_frame(verified, _ids_of(ds, id_col, ids))
 
-    cand = pairs_from_band_frame(_band_rows(sig_df, id_col, bands, rows),
-                                 id_col)
 
-    verified: list[tuple] = []
-    if cand:
-        sig_map = {i: np.asarray(s) for i, s in
-                   zip(sig_df[id_col], sig_df["minhash_sig"])}
-        for x, y in cand:
-            est = float((sig_map[x] == sig_map[y]).mean())
-            if est >= threshold:
-                verified.append((x, y))
+def minhash_candidate_pairs(ds, text_col: str, id_col: str, *,
+                            num_perm: int = 64, bands: int = 16, k: int = 3,
+                            n_parts: int = 64,
+                            concurrency=(1, 4)) -> np.ndarray:
+    """Candidate (a, b) pairs from LSH banding alone (threshold-free) —
+    feeds exact verifiers (n-gram Jaccard)."""
+    band_ds = minhash_band_dataset(
+        ds, text_col, id_col, num_perm=num_perm, bands=bands, k=k,
+        n_parts=n_parts, concurrency=concurrency)
 
-    all_ids = sig_df[id_col].tolist()
-    rep = cluster_pairs(verified, all_ids)
-    clusters = pd.DataFrame({"id": list(rep), "rep": [rep[i] for i in rep]})
-    return clusters.sort_values("id").reset_index(drop=True), sig_df
+    def emit(group: pd.DataFrame) -> pd.DataFrame:
+        pairs = bucket_pairs(group["band_key"].to_numpy(),
+                             group[id_col].to_numpy())
+        if len(pairs) == 0:
+            return _EMPTY_PAIRS.copy()
+        return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1]})
+
+    return _collect_pairs(
+        band_ds.groupby("band_part").map_groups(emit, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
@@ -257,137 +487,210 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
 
 
 def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
-                  n_bands: int = 4):
-    """SimHash banding: 64-bit sig split into n_bands chunks; docs sharing a
-    chunk are candidates; verify by full hamming distance ≤ max_hamming.
-    Returns pandas (id, rep)."""
-    def sigs(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[[id_col]].copy()
-        out["simhash"] = [simhash64(t) for t in df[text_col].fillna("")]
-        return out
-
-    # distributed hashing stage; the (id, simhash) frame is tiny → banding
-    # and verification run vectorized driver-side (scale path as in
-    # minhash_lsh_dedup: shuffle band rows, verify per partition)
-    sig_df = ds.select_columns([id_col, text_col]).map_batches(
-        sigs, batch_format="pandas").to_pandas()
-
+                  n_bands: int = 4, n_parts: int = 64,
+                  ids=None) -> pd.DataFrame:
+    """SimHash banding, banded-shuffle shape: 64-bit sig split into
+    ``n_bands`` chunks; rows sharing a chunk meet in a ``band_part``
+    partition; full-hamming verification (≤ max_hamming) runs vectorized
+    in-partition. Returns pandas (id, rep)."""
     width = 64 // n_bands
-    mask = (1 << width) - 1
-    sig_arr = sig_df["simhash"].to_numpy(dtype=np.uint64)
-    ids_arr = sig_df[id_col].to_numpy()
-    frames = []
-    for bi in range(n_bands):
-        frames.append(pd.DataFrame({
-            id_col: ids_arr,
-            "band_key": (np.uint64(bi) << np.uint64(60))
-            | ((sig_arr >> np.uint64(bi * width)) & np.uint64(mask)),
-        }))
-    cand = pairs_from_band_frame(pd.concat(frames, ignore_index=True), id_col)
+    mask = np.uint64((1 << width) - 1)
 
-    sig_map = dict(zip(ids_arr.tolist(), sig_arr.tolist()))
-    verified = [(x, y) for x, y in cand
-                if bin(sig_map[x] ^ sig_map[y]).count("1") <= max_hamming]
-    rep = cluster_pairs(verified, ids_arr.tolist())
-    return (pd.DataFrame({"id": list(rep), "rep": [rep[i] for i in rep]})
-            .sort_values("id").reset_index(drop=True))
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "band_key": pd.Series(dtype="uint64"),
+                                 "band_part": pd.Series(dtype="int64"),
+                                 "sig": pd.Series(dtype="uint64")})
+        sigs = np.array([simhash64(t) for t in df[text_col].fillna("")],
+                        dtype=np.uint64)
+        ids = df[id_col].to_numpy()
+        frames = []
+        for bi in range(n_bands):
+            keys = ((np.uint64(bi) << np.uint64(60))
+                    | ((sigs >> np.uint64(bi * width)) & mask))
+            frames.append(pd.DataFrame({
+                id_col: ids, "band_key": keys,
+                "band_part": (keys % np.uint64(n_parts)).astype(np.int64),
+                "sig": sigs}))
+        return pd.concat(frames, ignore_index=True)
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        pairs = bucket_pairs(group["band_key"].to_numpy(),
+                             group[id_col].to_numpy())
+        if len(pairs) == 0:
+            return _EMPTY_PAIRS.copy()
+        ids = group[id_col].to_numpy(dtype=np.int64)
+        uid, first_idx = np.unique(ids, return_index=True)
+        sigs = group["sig"].to_numpy(dtype=np.uint64)[first_idx]
+        ai = np.searchsorted(uid, pairs[:, 0])
+        bi = np.searchsorted(uid, pairs[:, 1])
+        ham = _popcount64(sigs[ai] ^ sigs[bi])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"a": pairs[keep, 0], "b": pairs[keep, 1]})
+
+    band_ds = ds.select_columns([id_col, text_col]).map_batches(
+        band_rows, batch_format="pandas")
+    verified = _collect_pairs(
+        band_ds.groupby("band_part").map_groups(verify,
+                                                batch_format="pandas"))
+    return _clusters_frame(verified, _ids_of(ds, id_col, ids))
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard near-dup (LSH candidates + exact verify on texts)
+# n-gram Jaccard near-dup (LSH candidates + distributed exact verify)
 # ---------------------------------------------------------------------------
 
 
 def ngram_jaccard_dedup(ds, text_col: str, id_col: str, *, k: int = 3,
                         threshold: float = 0.8, num_perm: int = 64,
-                        bands: int = 16):
+                        bands: int = 16, n_parts: int = 64,
+                        ids=None) -> pd.DataFrame:
     """Exact n-gram-Jaccard verification over MinHash-LSH candidates.
 
-    Texts are fetched only for candidate ids (a filtered projection), never
-    broadcast wholesale."""
-    clusters, _sig_df = minhash_lsh_dedup(
-        ds, text_col, id_col, num_perm=num_perm, bands=bands, k=k,
-        threshold=0.0)  # threshold 0 → candidates pass straight through
-    # expand clusters back to the raw pair list via reps
-    by_rep: dict = {}
-    for r in clusters.itertuples():
-        by_rep.setdefault(r.rep, []).append(r.id)
-    pairs = []
-    for members in by_rep.values():
-        members = sorted(members)
-        pairs += [(members[i], members[j]) for i in range(len(members))
-                  for j in range(i + 1, len(members))]
-    ids_needed = sorted({x for p in pairs for x in p})
-    id_set = set(ids_needed)
+    One banding pass generates candidates; exact verification runs through
+    :func:`verify_pairs_distributed` — each candidate doc is shingled
+    batch-wise in the workers and only the verified pair list returns.
+    Neither texts nor shingle sets are ever collected wholesale."""
+    cand = minhash_candidate_pairs(ds, text_col, id_col, num_perm=num_perm,
+                                   bands=bands, k=k, n_parts=n_parts)
 
-    def collect(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df[id_col].isin(id_set)][[id_col, text_col]]
+    def payloads(sub: pd.DataFrame) -> list:
+        return [shingle_hashes(t, k).tobytes()
+                for t in sub[text_col].fillna("")]
 
-    texts = {r[id_col]: r[text_col] for r in
-             ds.select_columns([id_col, text_col])
-             .map_batches(collect, batch_format="pandas").take_all()} \
-        if pairs else {}
-    # shingle each candidate id once, not once per pair
-    shingles = {i: set(shingle_hashes(t, k).tolist())
-                for i, t in texts.items()}
+    def ok(bx: bytes, by: bytes) -> bool:
+        sx = np.frombuffer(bx, dtype=np.uint64)
+        sy = np.frombuffer(by, dtype=np.uint64)
+        inter = len(np.intersect1d(sx, sy, assume_unique=True))
+        union = len(sx) + len(sy) - inter
+        return (inter / max(1, union)) >= threshold
 
-    def jac(x, y) -> float:
-        sx, sy = shingles[x], shingles[y]
-        if not sx and not sy:
-            return 1.0
-        return len(sx & sy) / max(1, len(sx | sy))
-
-    verified = [(x, y) for x, y in pairs if jac(x, y) >= threshold]
-    all_ids = clusters["id"].tolist()
-    rep = cluster_pairs(verified, all_ids)
-    return (pd.DataFrame({"id": list(rep), "rep": [rep[i] for i in rep]})
-            .sort_values("id").reset_index(drop=True))
+    verified = verify_pairs_distributed(
+        ds.select_columns([id_col, text_col]), cand, id_col, payloads, ok)
+    return _clusters_frame(verified, _ids_of(ds, id_col, ids))
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup
+# Embedding-cosine near-dup (signed-random-projection LSH)
 # ---------------------------------------------------------------------------
+
+
+class SRPBandRows:
+    """Batch UDF: embedding batch → signed-random-projection band rows.
+
+    ``n_planes`` random hyperplanes (seeded Gaussian, built lazily at the
+    first batch from the observed dimension, once per worker) give each
+    vector a sign bitmask; the mask splits into ``bands`` chunks → band
+    keys, exactly the SimHash shape. Cosine-identical vectors get
+    identical signs, so true duplicates collide in every band
+    (deterministic recall for exact-direction dups); near-dups at cosine c
+    collide per band w.p. (1 - arccos(c)/π)^(n_planes/bands)."""
+
+    def __init__(self, vec_col: str, id_col: str, n_planes: int = 64,
+                 bands: int = 8, seed: int = 29, n_parts: int = 64):
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.n_planes = n_planes
+        self.bands = bands
+        self.width = n_planes // bands
+        self.seed = seed
+        self.n_parts = n_parts
+        self.planes: np.ndarray | None = None
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({self.id_col: pd.Series(dtype="int64"),
+                                 "band_key": pd.Series(dtype="uint64"),
+                                 "band_part": pd.Series(dtype="int64"),
+                                 "sig": pd.Series(dtype="uint64")})
+        mat = np.stack(df[self.vec_col].to_numpy()).astype(np.float64)
+        if self.planes is None:
+            rng = np.random.RandomState(self.seed)
+            self.planes = rng.standard_normal((self.n_planes, mat.shape[1]))
+        bits = (mat @ self.planes.T) > 0  # (n, n_planes) bool
+        weights = (np.uint64(1)
+                   << np.arange(self.n_planes, dtype=np.uint64))
+        packed = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        ids = df[self.id_col].to_numpy()
+        mask = np.uint64((1 << self.width) - 1)
+        frames = []
+        for bi in range(self.bands):
+            keys = ((np.uint64(bi) << np.uint64(59))
+                    | ((packed >> np.uint64(bi * self.width)) & mask))
+            frames.append(pd.DataFrame({
+                self.id_col: ids, "band_key": keys,
+                "band_part": (keys % np.uint64(self.n_parts))
+                .astype(np.int64),
+                "sig": packed}))
+        return pd.concat(frames, ignore_index=True)
+
+
+def _srp_band_fn(df: pd.DataFrame, **kw) -> pd.DataFrame:
+    """Task-pool wrapper: per-worker cached :class:`SRPBandRows` (plane
+    matrix built once per worker)."""
+    key = tuple(sorted(kw.items()))
+    udf = _BAND_UDF_CACHE.get(("srp", key))
+    if udf is None:
+        udf = _BAND_UDF_CACHE[("srp", key)] = SRPBandRows(**kw)
+    return udf(df)
 
 
 def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
-                    block: int = 4096):
-    """Near-dup by cosine ≥ threshold over an embedding column.
+                    n_planes: int = 64, bands: int = 8,
+                    n_parts: int = 64, concurrency=None,
+                    ids=None) -> pd.DataFrame:
+    """Near-dup by cosine ≥ threshold via SRP-LSH banding + distributed
+    exact-cosine verification (r2: replaces the r1 O(N²) broadcast matmul;
+    no full-matrix ``ray.put`` anywhere).
 
-    Per-batch numpy matmul against the (normalized) full matrix broadcast
-    once via ``ray.put`` — the blocked brute-force baseline. The scale path
-    (documented, same interface) is LSH bucketing: random-hyperplane band
-    keys + within-bucket verify, exactly the SimHash shape above.
-    """
-    import ray
+    Candidate recall is deterministic for exact-direction duplicates and
+    probabilistic (documented on :class:`SRPBandRows`) for angular
+    near-dups; raise ``bands`` (narrower chunks) for recall, lower it for
+    candidate volume. Returns pandas (id, rep)."""
+    band_ds = ds.select_columns([id_col, vec_col]).map_batches(
+        _srp_band_fn, fn_kwargs={
+            "vec_col": vec_col, "id_col": id_col, "n_planes": n_planes,
+            "bands": bands, "n_parts": n_parts},
+        batch_format="pandas")
 
-    mats = []
-    ids = []
-    for b in ds.select_columns([id_col, vec_col]).iter_batches(
-            batch_format="pandas", batch_size=block):
-        mats.append(np.stack(b[vec_col].to_numpy()))
-        ids.extend(b[id_col].tolist())
-    mat = np.vstack(mats).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    mat_ref = ray.put(mat)
-    ids_arr = np.asarray(ids)
+    # In-partition sign-hamming pre-filter: clustered corpora make raw
+    # band collisions explode (at sf0.1 the synthetic embeddings give
+    # ~290k collisions for 2k vectors); a pair at cosine ≥ t differs in
+    # ~n_planes·arccos(t)/π sign bits in expectation, so 2× that (floor 3)
+    # keeps true pairs with huge margin while dropping same-cluster noise
+    # before anything leaves the partition.
+    ham_max = max(3, int(np.ceil(2 * n_planes * np.arccos(
+        min(1.0, max(-1.0, threshold))) / np.pi)))
 
-    def find_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        full = ray.get(mat_ref)
-        q = np.stack(df[vec_col].to_numpy()).astype(np.float64)
-        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        sims = q @ full.T
-        qa, qb = [], []
-        for row_i, did in enumerate(df[id_col].tolist()):
-            hits = ids_arr[sims[row_i] >= threshold]
-            for h in hits:
-                if h > did:
-                    qa.append(did)
-                    qb.append(h)
-        return pd.DataFrame({"a": qa, "b": qb})
+    def emit(group: pd.DataFrame) -> pd.DataFrame:
+        pairs = bucket_pairs(group["band_key"].to_numpy(),
+                             group[id_col].to_numpy())
+        if len(pairs) == 0:
+            return _EMPTY_PAIRS.copy()
+        ids = group[id_col].to_numpy(dtype=np.int64)
+        uid = np.unique(pairs)
+        order = np.argsort(ids, kind="stable")
+        row_idx = order[np.searchsorted(ids[order], uid)]
+        sigs = group["sig"].to_numpy(dtype=np.uint64)[row_idx]
+        ai = np.searchsorted(uid, pairs[:, 0])
+        bi = np.searchsorted(uid, pairs[:, 1])
+        keep = _popcount64(sigs[ai] ^ sigs[bi]) <= ham_max
+        return pd.DataFrame({"a": pairs[keep, 0], "b": pairs[keep, 1]})
 
-    pair_rows = ds.select_columns([id_col, vec_col]).map_batches(
-        find_pairs, batch_format="pandas", batch_size=block).take_all()
-    pairs = sorted({(r["a"], r["b"]) for r in pair_rows})
-    rep = cluster_pairs(pairs, ids)
-    return (pd.DataFrame({"id": list(rep), "rep": [rep[i] for i in rep]})
-            .sort_values("id").reset_index(drop=True))
+    cand = _collect_pairs(
+        band_ds.groupby("band_part").map_groups(emit, batch_format="pandas"))
+
+    def payloads(sub: pd.DataFrame) -> list:
+        mat = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return [row.tobytes() for row in mat]
+
+    def ok(bx: bytes, by: bytes) -> bool:
+        vx = np.frombuffer(bx, dtype=np.float64)
+        vy = np.frombuffer(by, dtype=np.float64)
+        return float(vx @ vy) >= threshold
+
+    verified = verify_pairs_distributed(
+        ds.select_columns([id_col, vec_col]), cand, id_col, payloads, ok)
+    return _clusters_frame(verified, _ids_of(ds, id_col, ids))

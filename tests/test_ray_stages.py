@@ -60,8 +60,8 @@ def test_minhash_lsh_dedup_stage(ray_session):
     rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
     rows += [{"doc_id": 100 + i, "text": t + " extra"} for i, t in enumerate(texts[:5])]
     ds = ray.data.from_items(rows)
-    clusters, _ = minhash_lsh_dedup(ds, "text", "doc_id", threshold=0.7,
-                                    concurrency=(1, 2))
+    clusters = minhash_lsh_dedup(ds, "text", "doc_id", threshold=0.7,
+                                 concurrency=(1, 2))
     rep = dict(zip(clusters["id"], clusters["rep"]))
     for i in range(5):
         assert rep[i] == rep[100 + i]
