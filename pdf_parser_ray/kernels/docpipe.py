@@ -146,18 +146,26 @@ def _record(url: str, warc_ts: str, status: str, kind: str, text: str = "",
 
 def process_document(url: str, payload: bytes | str, warc_ts: str,
                      normalizer: LabelNormalizer,
-                     facts: FactsStore | None = None) -> dict:
+                     facts: FactsStore | None = None,
+                     classifier=None) -> dict:
     """Full per-document pipeline. Never raises on malformed payloads —
     failures land in the ``status`` column (poison-pill isolation; the
-    reference instead crashed per document, ANALYSIS_REPORT.md:148-154)."""
+    reference instead crashed per document, ANALYSIS_REPORT.md:148-154).
+
+    ``classifier`` is the per-worker model-backed section classifier
+    (:class:`..stages.classify.SectionClassifier`); when present, the SEC
+    Notes path runs through it (the reference's LLM analogue,
+    ``pipeline.py:361-372``). ``None`` falls back to the reference's
+    model-free fallback (``programmatic.py:1467-1478``)."""
     try:
-        return _process(url, payload, warc_ts, normalizer, facts)
+        return _process(url, payload, warc_ts, normalizer, facts, classifier)
     except Exception as exc:  # noqa: BLE001 — app-level error column
         return _record(url, warc_ts, f"error:{type(exc).__name__}", "unknown")
 
 
 def _process(url: str, payload: bytes | str, warc_ts: str,
-             normalizer: LabelNormalizer, facts: FactsStore | None) -> dict:
+             normalizer: LabelNormalizer, facts: FactsStore | None,
+             classifier=None) -> dict:
     pages = tokenize_pages(payload)
     n_pages = len(pages)
     if detect_scanned(pages):
@@ -175,7 +183,8 @@ def _process(url: str, payload: bytes | str, warc_ts: str,
     if kind == "ifrs":
         return _process_ifrs(url, warc_ts, pages, n_pages)
 
-    return _process_sec(url, warc_ts, pages, n_pages, normalizer, facts)
+    return _process_sec(url, warc_ts, pages, n_pages, normalizer, facts,
+                        classifier)
 
 
 def _process_ifrs(url: str, warc_ts: str, pages, n_pages: int) -> dict:
@@ -195,7 +204,8 @@ def _process_ifrs(url: str, warc_ts: str, pages, n_pages: int) -> dict:
 
 
 def _process_sec(url: str, warc_ts: str, pages, n_pages: int,
-                 normalizer: LabelNormalizer, facts: FactsStore | None) -> dict:
+                 normalizer: LabelNormalizer, facts: FactsStore | None,
+                 classifier=None) -> dict:
     # Combined annual report: trim pages before the embedded filing, keeping
     # a ≤5000-char prefix for metadata fallback (pipeline.py:211-225).
     start_pg = find_filing_start(pages)
@@ -267,8 +277,18 @@ def _process_sec(url: str, warc_ts: str, pages, n_pages: int,
                 normalized_rows[key] = rows
             data_sources[FACTS_STATEMENTS.get(key, key)] = "extracted"
 
+    notes_info: dict = {}
     if S.NOTES in sections:
-        processed[S.NOTES] = clean_prose(sections[S.NOTES].text)
+        if classifier is not None:
+            # model-backed notes path: chunk at note boundaries, score
+            # every chunk through the per-worker classifier, trim
+            # confidently-foreign trailing chunks (LLM-call replacement;
+            # reference pipeline.py:361-372 + gemini_client.py:70-133)
+            from .notes import process_notes_model
+            processed[S.NOTES], notes_info = process_notes_model(
+                sections[S.NOTES].text, classifier)
+        else:
+            processed[S.NOTES] = clean_prose(sections[S.NOTES].text)
     for key in PROSE_SECTIONS:
         if key in sections:
             processed[key] = clean_prose(sections[key].text, sections[key].tables)
@@ -284,6 +304,8 @@ def _process_sec(url: str, warc_ts: str, pages, n_pages: int,
     meta = FM.build_metadata(cover_fields, scale_hint, url, cover_text,
                              parsed_at=warc_ts)
     meta["filing_sequence"] = 0  # patched by the grouped sequence stage
+    if notes_info:
+        meta.update(notes_info)  # model-stage provenance in front matter
     if data_sources:
         meta["data_sources"] = data_sources
 

@@ -68,14 +68,21 @@ class SectionClassifier:
         self.classes = list(CLASS_VOCAB)
         self.proto = np.stack([_hash_features(v) for v in CLASS_VOCAB.values()])
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        feats = np.stack([_hash_features(t)
-                          for t in df[self.text_col].fillna("")])
+    def predict(self, texts) -> tuple[list[str], list[float]]:
+        """Score raw texts → (labels, confidences). Shared by the Dataset
+        stage below and the in-worker notes path
+        (:func:`..kernels.notes.process_notes_model`)."""
+        feats = np.stack([_hash_features(t or "") for t in texts])
         scores = feats @ self.proto.T  # (rows, classes)
         best = scores.argmax(axis=1)
+        return ([self.classes[i] for i in best],
+                scores[np.arange(len(best)), best].round(6).tolist())
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        labels, confs = self.predict(df[self.text_col].fillna("").tolist())
         df = df.copy()
-        df["section_pred"] = [self.classes[i] for i in best]
-        df["section_conf"] = scores[np.arange(len(best)), best].round(6)
+        df["section_pred"] = labels
+        df["section_conf"] = confs
         return df
 
 

@@ -58,7 +58,14 @@ class ExtractDocuments:
     """
 
     def __init__(self, facts_path: str | None = None):
+        from .classify import SectionClassifier
+
         self.normalizer = LabelNormalizer()
+        # per-worker model-backed section classifier (north rule:
+        # "model-backed section classifiers replacing the reference's LLM
+        # calls") — prototype matrix built once per actor/worker, used by
+        # the Notes path of every document this worker processes
+        self.classifier = SectionClassifier()
         self.facts: FactsStore | None = None
         if facts_path:
             import pyarrow.parquet as pq
@@ -68,7 +75,8 @@ class ExtractDocuments:
         urls = batch["url"].to_pylist()
         payloads = batch["html"].to_pylist()
         ts = batch["warc_ts"].to_pylist()
-        recs = [process_document(u, h, str(t), self.normalizer, self.facts)
+        recs = [process_document(u, h, str(t), self.normalizer, self.facts,
+                                 self.classifier)
                 for u, h, t in zip(urls, payloads, ts)]
         return pa.Table.from_pylist(recs, schema=RECORD_SCHEMA)
 

@@ -10,6 +10,7 @@ from pdf_parser_ray.kernels.docpipe import process_document
 from pdf_parser_ray.kernels.facts import FactsStore
 from pdf_parser_ray.kernels.taxonomy import LabelNormalizer
 from pdf_parser_ray.sources.corpus import synth_corpus
+from pdf_parser_ray.stages.classify import SectionClassifier
 
 
 @pytest.fixture(scope="module")
@@ -114,9 +115,10 @@ def test_golden_byte_identity():
     rows, facts_rows = synth_corpus(40, seed=7)
     norm = LabelNormalizer()
     fs = FactsStore(facts_rows)
+    cls = SectionClassifier()  # goldens freeze the flagship (classifier) path
     for r in rows:
         rec = process_document(r["url"], r["html"], str(r["warc_ts"]),
-                               norm, fs)
+                               norm, fs, cls)
         g = goldens[r["url"]]
         actual = hashlib.md5(rec["extracted_text"].encode()).hexdigest()
         assert actual == g["md5"], (r["url"], rec["status"])
@@ -166,3 +168,47 @@ def test_ifrs_document_structure():
     # notes section is prose (no table pipes bleeding in)
     sections = {s["section"]: s for s in ifrs["spans"]}
     assert len(sections) >= 4
+
+
+def test_notes_model_chunker_and_trim():
+    """chunk_notes mirrors the reference boundary logic
+    (gemini_client.py:70-96); the model stage trims confidently-foreign
+    trailing chunks and records provenance."""
+    from pdf_parser_ray.kernels.notes import chunk_notes, process_notes_model
+
+    cls = SectionClassifier()
+    body = "\n".join(
+        "Note %d. Summary of significant accounting policies revenue "
+        "recognition fair value. " % i + "detail " * 40
+        for i in range(1, 30))
+    tail = ("\nNote 99. Management discussion and analysis of results of "
+            "operations liquidity capital resources outlook trends. "
+            + "management discussion analysis results operations liquidity "
+              "outlook trends " * 40)
+    text = body + tail
+    # under the limit: single chunk, untouched
+    assert chunk_notes(text, limit=10_000_000) == [text]
+    # over the limit: note-boundary chunks, trailing MDA chunk dropped
+    chunks = chunk_notes(text, limit=600)
+    assert len(chunks) > 5
+    md, info = process_notes_model(text, cls, limit=600)
+    assert info["notes_chunks"] == len(chunks)
+    assert info["notes_dropped"] >= 1
+    assert "Management discussion and analysis" not in md
+    assert "Note 1." in md
+
+
+def test_notes_model_wired_into_flagship_records():
+    """The flagship extraction path must carry the model stage's provenance
+    (notes_chunks in front matter) for SEC docs with a Notes section —
+    proof the classifier is wired in, not just defined."""
+    rows, facts_rows = synth_corpus(40, seed=7)
+    norm, fs, cls = LabelNormalizer(), FactsStore(facts_rows), SectionClassifier()
+    seen = 0
+    for r in rows:
+        rec = process_document(r["url"], r["html"], str(r["warc_ts"]),
+                               norm, fs, cls)
+        if rec["status"] == "ok" and rec["doc_kind"] == "sec" \
+                and "notes_chunks" in rec["extracted_text"]:
+            seen += 1
+    assert seen > 0
