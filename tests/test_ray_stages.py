@@ -330,3 +330,32 @@ def test_ingest_nested_dirs_no_collision(tmp_path, ray_session):
     assert len({r["url"] for r in rows}) == 2
     assert {r["url"] for r in rows} == {"file://ingest/a/doc.html",
                                         "file://ingest/b/doc.html"}
+
+
+def test_ivf_index_persisted(tmp_path, ray_session):
+    """IVFIndex: one build pass, probed-partition reads, reopen from disk
+    gives identical results (r1 VERDICT item 5)."""
+    import ray.data
+    from pdf_parser_ray.stages.similarity import IVFIndex, knn_topk
+
+    rng = np.random.RandomState(3)
+    # clustered corpus so IVF pruning is meaningful
+    cents = rng.standard_normal((4, 8)) * 4
+    mat = np.vstack([cents[i % 4] + rng.standard_normal(8) * 0.1
+                     for i in range(80)])
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(80)])
+    idx_dir = str(tmp_path / "ivf")
+    idx = IVFIndex.build(ds, "embedding", "vec_id", idx_dir, n_centroids=4,
+                         sample_rows=80, seed=5)
+    queries = {"ids": [0, 1], "mat": mat[:2]}
+    got = idx.search(queries, k=3, nprobe=2)
+    exact = knn_topk(ds, queries, vec_col="embedding", id_col="vec_id", k=3)
+    for qid in (0, 1):
+        g = set(got[got["query_id"] == qid]["neighbor_id"])
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        assert len(g & e) >= 2  # high recall on clustered data
+    # reopening from disk reproduces the search exactly
+    idx2 = IVFIndex.open(idx_dir, "embedding", "vec_id")
+    got2 = idx2.search(queries, k=3, nprobe=2)
+    assert got.equals(got2)
