@@ -67,6 +67,106 @@ class FactsStore:
         return self._index.get((str(cik), ft, period_end), {})
 
 
+# ---------------------------------------------------------------------------
+# Raw companyfacts-JSON extraction (reference J4 semantics,
+# edgar_client.py:178-295): for environments where the side table is not
+# pre-shaped but raw XBRL-style fact dumps are available.
+# ---------------------------------------------------------------------------
+
+UNIT_PREFERENCE = ("USD", "USD/shares", "shares", "pure")
+MAX_PERIODS = 4
+MIN_LINE_ITEMS = 3
+
+
+def pad_cik(cik) -> str:
+    """EDGAR CIKs are 10-digit zero-padded (edgar_client.py pad_cik)."""
+    return str(cik).zfill(10)
+
+
+def accession_prefix(accession: str) -> str:
+    """XBRL facts reference accessions without dashes
+    (edgar_client.py:150-156)."""
+    return accession.replace("-", "")
+
+
+def find_filing_accession(submissions: dict, form: str,
+                          report_date: str) -> str | None:
+    """Locate the accession of the filing matching (form, reportDate) in a
+    submissions-JSON dump (edgar_client.py:116-148 behavior: recent
+    filings arrays, exact form + reportDate match)."""
+    recent = (submissions.get("filings", {}) or {}).get("recent", {}) or {}
+    forms = recent.get("form", []) or []
+    dates = recent.get("reportDate", []) or []
+    accs = recent.get("accessionNumber", []) or []
+    for f, d, a in zip(forms, dates, accs):
+        if f == form and d == report_date:
+            return a
+    return None
+
+
+def extract_statement_facts(company_facts: dict, accession: str,
+                            statement_type: str,
+                            xbrl_map: dict[str, str]) -> FactsStatement | None:
+    """Shape raw companyfacts JSON into one statement's aligned line items.
+
+    Reference semantics rebuilt (edgar_client.py:178-295):
+
+    * unit preference ``USD > USD/shares > shares > pure``; once a concept
+      yields data in one unit, later units are not consulted;
+    * facts are filtered to the filing's accession (dash-stripped match);
+    * dimensional (``segment``-tagged) facts are excluded;
+    * period key is ``end`` for instant facts, ``start_end`` for durations;
+    * at most the 4 most-recent end dates are kept, and per end date the
+      LONGEST duration wins over shorter ones / instants;
+    * fewer than 3 mapped line items ⇒ not enough data ⇒ ``None``.
+    """
+    acc = accession_prefix(accession)
+    us_gaap = (company_facts.get("facts", {}) or {}).get("us-gaap", {}) or {}
+    if not us_gaap:
+        return None
+
+    found: dict[str, dict[str, float]] = {}
+    periods_seen: set[str] = set()
+    for concept, canonical in xbrl_map.items():
+        units = (us_gaap.get(concept) or {}).get("units", {}) or {}
+        for unit_key in UNIT_PREFERENCE:
+            for fact in units.get(unit_key, []) or []:
+                if accession_prefix(fact.get("accn", "")) != acc:
+                    continue
+                end = fact.get("end", "")
+                val = fact.get("val")
+                if not end or val is None or fact.get("segment"):
+                    continue
+                start = fact.get("start", "")
+                key = f"{start}_{end}" if start else end
+                found.setdefault(canonical, {})[key] = float(val)
+                periods_seen.add(key)
+            if canonical in found:
+                break  # unit preference: first unit with data wins
+
+    if len(found) < MIN_LINE_ITEMS:
+        return None
+
+    by_end: dict[str, list[str]] = {}
+    for p in sorted(periods_seen):
+        by_end.setdefault(p.split("_")[-1], []).append(p)
+    recent_ends = sorted(by_end, reverse=True)[:MAX_PERIODS]
+
+    final_periods: list[str] = []
+    for end in sorted(recent_ends):
+        candidates = by_end[end]
+        durations = sorted((c for c in candidates if "_" in c),
+                           key=lambda c: c.split("_")[0])
+        final_periods.append(durations[0] if durations else candidates[0])
+    if not final_periods:
+        return None
+
+    line_items = {canonical: [vals.get(p) for p in final_periods]
+                  for canonical, vals in found.items()}
+    display = [p.split("_")[-1] for p in final_periods]
+    return FactsStatement(statement_type, line_items, display)
+
+
 def render_facts_statement(stmt: FactsStatement) -> str:
     """Markdown render of a facts-backed statement (edgar_client.py:300-340):
     label column left-aligned, one right-aligned column per period, em-dash

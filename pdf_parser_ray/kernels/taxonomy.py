@@ -264,6 +264,8 @@ class LabelClassifier:
     """
 
     def __init__(self, taxonomy: dict | None = None, threshold: float = 0.82):
+        import numpy as np
+
         self.threshold = threshold
         self.centroids: list[tuple[str, dict[int, float], float]] = []
         for items in (taxonomy or TAXONOMY).values():
@@ -275,25 +277,44 @@ class LabelClassifier:
                 n = _norm(acc)
                 if n > 0:
                     self.centroids.append((canonical, acc, n))
+        # dense row-normalized centroid matrix for the batched tier: one
+        # (labels × features) @ (features × canonicals) matmul classifies a
+        # whole unmapped-label batch (the reference batched unmapped labels
+        # into ONE LLM call, normalize.py:164-223 — same shape here)
+        self._names = [c[0] for c in self.centroids]
+        self._cmat = np.zeros((len(self.centroids), _N_FEATURES))
+        for i, (_, cen, cn) in enumerate(self.centroids):
+            for k, v in cen.items():
+                self._cmat[i, k] = v / cn
+
+    def classify_batch(self, labels: list[str]) -> list[tuple[str | None, float]]:
+        """Vectorized classification of a label batch: hash-featurize each
+        label (cheap), then a single matmul against the centroid matrix."""
+        import numpy as np
+
+        if not labels:
+            return []
+        fmat = np.zeros((len(labels), _N_FEATURES))
+        for i, label in enumerate(labels):
+            for k, v in _featurize_stable(label).items():
+                fmat[i, k] = v
+        norms = np.linalg.norm(fmat, axis=1)
+        norms[norms == 0] = 1.0
+        scores = (fmat / norms[:, None]) @ self._cmat.T
+        best = scores.argmax(axis=1)
+        out: list[tuple[str | None, float]] = []
+        for i, bi in enumerate(best):
+            s = float(scores[i, bi])
+            if not fmat[i].any():
+                out.append((None, 0.0))
+            elif s >= self.threshold:
+                out.append((self._names[bi], s))
+            else:
+                out.append((None, s))
+        return out
 
     def classify(self, label: str) -> tuple[str | None, float]:
-        feats = _featurize_stable(label)
-        fn = _norm(feats)
-        if fn == 0:
-            return None, 0.0
-        best_name, best_score = None, 0.0
-        for canonical, cen, cn in self.centroids:
-            dot = 0.0
-            for k, v in feats.items():
-                c = cen.get(k)
-                if c:
-                    dot += v * c
-            score = dot / (fn * cn)
-            if score > best_score:
-                best_score, best_name = score, canonical
-        if best_score >= self.threshold:
-            return best_name, best_score
-        return None, best_score
+        return self.classify_batch([label])[0]
 
 
 @dataclass
@@ -332,22 +353,41 @@ class LabelNormalizer:
             self._memo[key] = result
         return result
 
-    def _match_uncached(self, key: str, label: str) -> MatchResult:
+    def _tier12(self, key: str) -> tuple[MatchResult | None, float]:
+        """Exact + fuzzy tiers; ``(None, best_fuzzy_score)`` means the
+        model tier must decide."""
         hit = self.alias_index.get(key)
         if hit:
-            return MatchResult(hit, 1.0, "exact")
+            return MatchResult(hit, 1.0, "exact"), 1.0
         best_score, best = 0.0, None
+        lk = len(key)
         for alias, canonical in self.alias_index.items():
+            # sound prune: SequenceMatcher ratio ≤ 2·min(la,lb)/(la+lb),
+            # so aliases too different in length can never reach the 0.85
+            # fuzzy threshold — skip the quadratic matcher entirely
+            la = len(alias)
+            if 2.0 * min(lk, la) / max(1, lk + la) < 0.85:
+                continue
             score = difflib.SequenceMatcher(None, key, alias).ratio()
             if score > best_score:
                 best_score, best = score, canonical
         if best_score >= 0.85:
-            return MatchResult(best, best_score, "fuzzy")
+            return MatchResult(best, best_score, "fuzzy"), best_score
+        return None, best_score
+
+    def _match_uncached(self, key: str, label: str) -> MatchResult:
+        res, best_score = self._tier12(key)
+        if res is not None:
+            return res
         if self.model is not None:
             name, score = self.model.classify(label)
             if name:
                 return MatchResult(name, score, "model")
         return MatchResult(None, best_score, "none")
+
+    def _memo_put(self, key: str, result: MatchResult) -> None:
+        if len(self._memo) < 100_000:  # bound actor memory
+            self._memo[key] = result
 
     # -- table-level annotation (reference: normalize_table_rows, :99-146) --
 
@@ -358,9 +398,17 @@ class LabelNormalizer:
         Tracks the running current/non-current context from section-header
         rows to disambiguate labels that appear in both blocks; header rows
         (label ends with ':' or all value cells empty) get no canonical.
+
+        Tier-3 is BATCHED: labels the exact/fuzzy tiers can't decide are
+        collected across the whole table and classified in one vectorized
+        ``classify_batch`` matmul — the reference batched its unmapped
+        labels into one LLM call the same way (``normalize.py:164-223``).
         """
         out: list[list[str]] = []
         context = ""
+        pending: dict[str, list[int]] = {}  # memo key -> out-row indexes
+        pending_label: dict[str, str] = {}
+        pending_fuzzy: dict[str, float] = {}
         for row in rows:
             first = (row[0] if row else "").strip()
             canonical = ""
@@ -377,9 +425,31 @@ class LabelNormalizer:
                     if context and context in override:
                         canonical = override[context]
                     else:
-                        m = self.match(first)
-                        canonical = m.canonical or ""
+                        key = first.lower()
+                        cached = self._memo.get(key)
+                        if cached is not None:
+                            canonical = cached.canonical or ""
+                        else:
+                            res, fuzzy = self._tier12(key)
+                            if res is not None or self.model is None:
+                                res = res or MatchResult(None, fuzzy, "none")
+                                self._memo_put(key, res)
+                                canonical = res.canonical or ""
+                            else:
+                                pending.setdefault(key, []).append(len(out))
+                                pending_label[key] = first
+                                pending_fuzzy[key] = fuzzy
             out.append([row[0] if row else "", canonical] + list(row[1:]))
+        if pending:
+            keys = list(pending)
+            results = self.model.classify_batch(
+                [pending_label[k] for k in keys])
+            for key, (name, score) in zip(keys, results):
+                res = (MatchResult(name, score, "model") if name
+                       else MatchResult(None, pending_fuzzy[key], "none"))
+                self._memo_put(key, res)
+                for oi in pending[key]:
+                    out[oi][1] = res.canonical or ""
         return out
 
 

@@ -152,3 +152,115 @@ def test_union_find():
     assert rep[1] == rep[2] == rep[3] == 1
     assert rep[4] == 4
     assert rep[5] == rep[6] == 5
+
+
+def test_xbrl_fact_extraction_semantics():
+    """Reference J4 semantics (edgar_client.py:178-295), rebuilt: unit
+    preference, dimensional-fact exclusion, accession filter, <=4 recent
+    periods with longest-duration preference, min-line-item gate."""
+    from pdf_parser_ray.kernels.facts import (accession_prefix,
+                                              extract_statement_facts,
+                                              find_filing_accession, pad_cik)
+
+    assert pad_cik("320193") == "0000320193"
+    assert pad_cik(7) == "0000000007"
+    assert accession_prefix("0000320193-24-000123") == "000032019324000123"
+
+    acc = "0001111111-25-000001"
+
+    def fact(end, val, start=None, accn=acc, segment=None):
+        f = {"end": end, "val": val, "accn": accn}
+        if start:
+            f["start"] = start
+        if segment:
+            f["segment"] = segment
+        return f
+
+    facts = {"facts": {"us-gaap": {
+        # duration concept, 6 end-dates: only the 4 most recent survive;
+        # for 2024-12-31 both a short (Q4) and a long (FY) duration exist —
+        # the longest (earliest start) must win
+        "Revenues": {"units": {"USD": [
+            fact("2019-12-31", 1.0, "2019-01-01"),
+            fact("2020-12-31", 2.0, "2020-01-01"),
+            fact("2021-12-31", 3.0, "2021-01-01"),
+            fact("2022-12-31", 4.0, "2022-01-01"),
+            fact("2023-12-31", 5.0, "2023-01-01"),
+            fact("2024-12-31", 99.0, "2024-10-01"),
+            fact("2024-12-31", 6.0, "2024-01-01"),
+        ]}},
+        # unit preference: USD present -> USD/shares ignored
+        "NetIncomeLoss": {"units": {
+            "USD": [fact("2024-12-31", 10.0, "2024-01-01")],
+            "USD/shares": [fact("2024-12-31", 0.77, "2024-01-01")],
+        }},
+        # only USD/shares -> falls through preference order
+        "EarningsPerShareBasic": {"units": {
+            "USD/shares": [fact("2024-12-31", 1.25, "2024-01-01")],
+        }},
+        # segment-tagged (dimensional) facts are excluded entirely
+        "GrossProfit": {"units": {"USD": [
+            fact("2024-12-31", 50.0, "2024-01-01", segment="ProductsMember"),
+        ]}},
+        # wrong accession excluded
+        "OperatingIncomeLoss": {"units": {"USD": [
+            fact("2024-12-31", 33.0, "2024-01-01",
+                 accn="0009999999-99-000001"),
+        ]}},
+    }}}
+    xbrl_map = {"Revenues": "Revenue", "NetIncomeLoss": "Net Income",
+                "EarningsPerShareBasic": "EPS",
+                "GrossProfit": "Gross Profit",
+                "OperatingIncomeLoss": "Operating Income"}
+    st = extract_statement_facts(facts, acc, "income_statement", xbrl_map)
+    assert st is not None
+    assert st.periods == ["2021-12-31", "2022-12-31", "2023-12-31",
+                          "2024-12-31"]  # <=4 most recent ends
+    assert st.line_items["Revenue"] == [3.0, 4.0, 5.0, 6.0]  # FY beat Q4
+    assert st.line_items["Net Income"][-1] == 10.0  # USD preferred
+    assert st.line_items["EPS"][-1] == 1.25  # USD/shares fallback
+    assert "Gross Profit" not in st.line_items  # segment excluded
+    assert "Operating Income" not in st.line_items  # accession filter
+
+    # fewer than 3 mapped items -> None
+    thin = {"facts": {"us-gaap": {
+        "Revenues": facts["facts"]["us-gaap"]["Revenues"]}}}
+    assert extract_statement_facts(thin, acc, "income_statement",
+                                   {"Revenues": "Revenue"}) is None
+    # missing accession -> None
+    assert extract_statement_facts(facts, "0000000000-00-000000",
+                                   "income_statement", xbrl_map) is None
+    # empty facts -> None
+    assert extract_statement_facts({"facts": {}}, acc, "income_statement",
+                                   xbrl_map) is None
+
+    subs = {"filings": {"recent": {
+        "form": ["10-K", "10-Q", "10-K"],
+        "reportDate": ["2024-09-28", "2024-06-29", "2023-09-30"],
+        "accessionNumber": ["a1", "a2", "a3"]}}}
+    assert find_filing_accession(subs, "10-K", "2024-09-28") == "a1"
+    assert find_filing_accession(subs, "10-Q", "2024-06-29") == "a2"
+    assert find_filing_accession(subs, "10-K", "2099-01-01") is None
+    assert find_filing_accession({}, "10-K", "2024-09-28") is None
+
+
+def test_batched_tier3_parity():
+    """classify_batch must agree with per-label classify, and annotate_rows'
+    batched tier-3 must produce the same canonicals as label-at-a-time
+    match() (r1 VERDICT item 8)."""
+    from pdf_parser_ray.kernels.taxonomy import LabelClassifier, LabelNormalizer
+
+    cls = LabelClassifier()
+    labels = ["Net saless", "Totall revenues", "Cost of products sold x",
+              "Research & development expence", "zzz qqq xx", ""]
+    batch = cls.classify_batch(labels)
+    for lab, (name, score) in zip(labels, batch):
+        one_name, one_score = cls.classify(lab)
+        assert one_name == name
+        assert abs(one_score - score) < 1e-9  # BLAS batch-size ulp jitter
+    # table-level parity: batched annotate vs sequential match
+    rows = [[lab, "1", "2"] for lab in labels if lab]
+    a = LabelNormalizer().annotate_rows(rows, is_numeric=lambda s: False)
+    b = LabelNormalizer()
+    expect = [b.match(lab).canonical or "" for lab, *_ in rows]
+    assert [r[1] for r in a] == expect
