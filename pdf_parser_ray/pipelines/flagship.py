@@ -101,7 +101,8 @@ def run_flagship(corpus_path, facts_path: str | None = None,
                  out_dir: str | None = None, *, dedup: bool | str = True,
                  consistency: bool = True, concurrency=None,
                  batch_size: int = 16, n_buckets: int = 64,
-                 skew_threshold: int = SKEW_SPLIT_BYTES):
+                 skew_threshold: int = SKEW_SPLIT_BYTES,
+                 sequence_mode: str = "broadcast"):
     """Build (and optionally write) the flagship extraction Dataset.
 
     ``dedup``: True/"post" drops duplicate-url captures *after* extraction
@@ -110,6 +111,12 @@ def run_flagship(corpus_path, facts_path: str | None = None,
     decision pass over the raw input first — pay one serial projection
     read to skip extracting duplicates, worth it when the dup rate is
     high. False disables.
+
+    ``sequence_mode``: "broadcast" (default) sends the url→sequence map to
+    every task via ``ray.put`` — fastest while the SEC-filing count fits
+    driver memory. "join" ranks distributedly and hash-joins on url
+    (``CONS.sequence_dataset`` + ``apply_sequence_join``) — the 10^12-doc
+    path; identical output.
 
     Returns the final Dataset when ``out_dir`` is None, else writes the
     partitioned output (resuming past completed buckets) and returns the
@@ -193,8 +200,13 @@ def run_flagship(corpus_path, facts_path: str | None = None,
                     ["url", "family_key", "period_end", "doc_kind",
                      "mappings"]).union(written)
         resolved = CONS.first_wins_mappings(agg_input)
-        seq_map = CONS.compute_sequence(agg_input)
-        extracted = CONS.apply_all(extracted, resolved, seq_map)
+        if sequence_mode == "join":
+            seq_ds = CONS.sequence_dataset(agg_input)
+            extracted = CONS.apply_sequence_join(
+                CONS.apply_all(extracted, resolved, None), seq_ds)
+        else:
+            seq_map = CONS.compute_sequence(agg_input)
+            extracted = CONS.apply_all(extracted, resolved, seq_map)
 
     if out_dir:
         summary = MAN.write_partitioned(extracted, out_dir, n_buckets,

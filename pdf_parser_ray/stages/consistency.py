@@ -127,6 +127,97 @@ def assign_filing_sequence(extracted_ds):
     return apply_all(extracted_ds, None, compute_sequence(extracted_ds))
 
 
+def sequence_dataset(extracted_ds, n_parts: int = 64):
+    """Distributed ``(url, filing_sequence)`` — the 10^12-doc path where a
+    driver-side url→seq map is impossible (r1 VERDICT §wrong-4).
+
+    Shape: tiny projection → ``groupby`` on a COARSENED family-hash key
+    (``n_parts`` partitions, so the per-group Python callback cost is
+    bounded by the partition count, not the family count — 12.5k families
+    through per-family ``map_groups`` took 34 s in r1 profiling) → within
+    each partition a vectorized pandas sort + grouped cumcount ranks every
+    family it holds (families never straddle partitions: equal keys hash
+    equal)."""
+    from .manifest import url_bucket
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.and_(pc.equal(batch["doc_kind"], "sec"),
+                       pc.not_equal(batch["period_end"], ""))
+        out = batch.filter(mask)
+        return out.append_column(
+            "fpart", url_bucket(out["family_key"], n_parts))
+
+    proj = (extracted_ds
+            .select_columns(["family_key", "url", "period_end", "doc_kind"])
+            .map_batches(keep, batch_format="pyarrow"))
+
+    def rank_part(group) -> "pa.Table":
+        df = group.to_pandas().sort_values(
+            ["family_key", "period_end", "url"], kind="mergesort")
+        df["filing_sequence"] = (
+            df.groupby("family_key", sort=False).cumcount() + 1)
+        return pa.Table.from_pandas(df[["url", "filing_sequence"]],
+                                    preserve_index=False)
+
+    return proj.groupby("fpart").map_groups(rank_part, batch_format="pyarrow")
+
+
+def apply_sequence_join(extracted_ds, seq_ds, num_partitions: int | None = None):
+    """Attach ``filing_sequence`` via a distributed hash join on url
+    (``Dataset.join``) instead of a broadcast map — both sides shuffle by
+    the url key; nothing lands on the driver. Missing urls (web/ifrs/error
+    rows) get sequence 0, matching the broadcast path.
+
+    ``num_partitions`` defaults to half the cluster CPUs (floor 2): the
+    hash-join aggregators are actors that each reserve a CPU — asking for
+    more partitions than free CPUs deadlocks a small cluster.
+
+    Ray's hash join rejects nested (list/struct) non-key columns, so the
+    record's ``spans``/``mappings`` columns ride through the shuffle as
+    JSON-encoded binary and are restored afterwards — the join only ever
+    routes them, never inspects them."""
+    import json
+
+    import ray
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(32, cpus // 2))
+
+    nested_fields = {f.name: f.type for f in extracted_ds.schema().base_schema
+                     if pa.types.is_nested(f.type)}
+
+    def encode(batch: pa.Table) -> pa.Table:
+        for name in nested_fields:
+            idx = batch.schema.get_field_index(name)
+            enc = pa.array([json.dumps(v).encode()
+                            for v in batch[name].to_pylist()],
+                           type=pa.large_binary())
+            batch = batch.set_column(idx, pa.field(name, pa.large_binary()),
+                                     enc)
+        return batch
+
+    left = extracted_ds.map_batches(encode, batch_format="pyarrow") \
+        if nested_fields else extracted_ds
+    joined = left.join(seq_ds, join_type="left_outer",
+                       num_partitions=num_partitions, on=("url",))
+
+    def restore(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        for name, typ in nested_fields.items():
+            idx = batch.schema.get_field_index(name)
+            dec = pa.array([json.loads(v) for v in batch[name].to_pylist()],
+                           type=typ)
+            batch = batch.set_column(idx, pa.field(name, typ), dec)
+        idx = batch.schema.get_field_index("filing_sequence")
+        col = pc.fill_null(pc.cast(batch["filing_sequence"], pa.int64()), 0)
+        return batch.set_column(idx, pa.field("filing_sequence", pa.int64()),
+                                col)
+
+    return joined.map_batches(restore, batch_format="pyarrow")
+
+
 def apply_all(extracted_ds, resolved: dict | None, seq_map: dict | None):
     """ONE map pass applying both cross-document fix-ups: backfill empty
     canonicals from the family-global mapping table and attach the

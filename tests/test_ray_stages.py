@@ -359,3 +359,18 @@ def test_ivf_index_persisted(tmp_path, ray_session):
     idx2 = IVFIndex.open(idx_dir, "embedding", "vec_id")
     got2 = idx2.search(queries, k=3, nprobe=2)
     assert got.equals(got2)
+
+
+def test_sequence_join_matches_broadcast(corpus_dir, tmp_path, ray_session):
+    """sequence_mode='join' (distributed rank + hash join on url) must
+    produce byte-identical records to the broadcast path."""
+    from pdf_parser_ray.pipelines.flagship import run_flagship
+    cdir, fpath = corpus_dir
+    a = run_flagship(cdir, fpath, None, concurrency=(1, 2)).to_pandas()
+    b = run_flagship(cdir, fpath, None, concurrency=(1, 2),
+                     sequence_mode="join").to_pandas()
+    cols = ["url", "filing_sequence", "status", "extracted_text"]
+    a = a[cols].sort_values("url").reset_index(drop=True)
+    b = b[cols].sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["filing_sequence"] > 0).any()
