@@ -57,13 +57,23 @@ def cmd_run(args) -> int:
 
 
 def cmd_qa(args) -> int:
+    """Evaluate EXISTING extraction output (the reference's --eval-only
+    mode, test_runner.py:449-506): summary counts by default, per-document
+    colored report with --per-doc, markdown report file with --report."""
     ray = _ensure_ray(args.num_cpus)
     import ray.data as rd
 
-    from .stages.qa import qa_dataset, summarize
+    from .stages.qa import (qa_dataset, render_report, summarize,
+                            write_markdown_report)
 
     try:
         ds = rd.read_parquet(args.input)
+        if args.per_doc:
+            print(render_report(ds, color=sys.stdout.isatty(),
+                                max_docs=args.max_docs))
+        if args.report:
+            write_markdown_report(ds, args.report, max_docs=args.max_docs)
+            print(f"report written to {args.report}", file=sys.stderr)
         summary = summarize(qa_dataset(ds))
         print(json.dumps(summary, sort_keys=True))
         failed = sum(v for k, v in summary.items() if k.startswith("qa_fail:"))
@@ -97,6 +107,11 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("qa", help="quality harness over extraction output")
     p.add_argument("--input", required=True)
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--per-doc", action="store_true",
+                   help="print the per-document check report")
+    p.add_argument("--report", metavar="PATH", default=None,
+                   help="write a markdown report file")
+    p.add_argument("--max-docs", type=int, default=None)
     p.set_defaults(fn=cmd_qa)
 
     args = ap.parse_args(argv)

@@ -66,3 +66,52 @@ def summarize(extracted_ds) -> dict:
     for r in partials.take_all():
         out[r["key"]] = out.get(r["key"], 0) + r["n"]
     return out
+
+
+_GREEN, _RED, _BOLD, _RESET = "\x1b[32m", "\x1b[31m", "\x1b[1m", "\x1b[0m"
+
+
+def render_report(extracted_ds, *, color: bool = False,
+                  max_docs: int | None = None) -> str:
+    """Per-document check report — the reference's ``test_runner`` colored
+    report / markdown report (``test_runner.py:449-506``), rebuilt as a
+    stream over the QA projection (url, status, doc_kind, qa, qa_failed);
+    document texts never reach the driver.
+
+    ``color=True`` adds the reference's ANSI styling for terminals; the
+    plain variant doubles as the markdown report body."""
+    g, r, b, z = (_GREEN, _RED, _BOLD, _RESET) if color else ("", "", "", "")
+    lines: list[str] = []
+    total_pass = total_fail = n_docs = 0
+    qa_ds = qa_dataset(extracted_ds).select_columns(
+        ["url", "status", "doc_kind", "qa", "qa_failed"])
+    done = False
+    for batch in qa_ds.iter_batches(batch_format="pandas", batch_size=256):
+        if done:
+            break
+        for row in batch.itertuples(index=False):
+            if max_docs is not None and n_docs >= max_docs:
+                done = True
+                break
+            n_docs += 1
+            lines.append(f"{b}{row.url}{z} [{row.doc_kind}/{row.status}]")
+            for c in row.qa:
+                ok = bool(c["passed"])
+                total_pass += ok
+                total_fail += not ok
+                mark = f"{g}✓{z}" if ok else f"{r}✗{z}"
+                msg = f" — {c['message']}" if c["message"] and not ok else ""
+                lines.append(f"  {mark} {c['check']}{msg}")
+            lines.append("")
+    lines.append("---")
+    lines.append(f"{b}Summary:{z} {total_pass} passed, {total_fail} failed "
+                 f"across {n_docs} documents")
+    return "\n".join(lines)
+
+
+def write_markdown_report(extracted_ds, path: str,
+                          max_docs: int | None = None) -> None:
+    """Write the plain report to ``path`` (reference ``--report`` flag)."""
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(render_report(extracted_ds, color=False, max_docs=max_docs))
+        fh.write("\n")

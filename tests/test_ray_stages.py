@@ -374,3 +374,28 @@ def test_sequence_join_matches_broadcast(corpus_dir, tmp_path, ray_session):
     b = b[cols].sort_values("url").reset_index(drop=True)
     assert a.equals(b)
     assert (a["filing_sequence"] > 0).any()
+
+
+def test_qa_report_rendering(ray_session):
+    """render_report: per-doc check lines + summary (reference
+    test_runner report harness parity)."""
+    import ray.data
+    from pdf_parser_ray.stages.qa import render_report, write_markdown_report
+    rows = [
+        {"url": "u1", "status": "ok", "doc_kind": "sec",
+         "extracted_text": "---\ntitle: x\n---\n# T\n\n## Income Statement\n"
+                           "| a | b |\n|---|---|\n| Revenue | 1 |\n"},
+        {"url": "u2", "status": "ok", "doc_kind": "web",
+         "extracted_text": "plain body text"},
+    ]
+    ds = ray.data.from_items(rows)
+    rep = render_report(ds)
+    assert "u1" in rep and "u2" in rep
+    assert "Summary:" in rep
+    assert "✓" in rep  # at least one passing check rendered
+    colored = render_report(ds, color=True)
+    assert "\x1b[" in colored
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "report.md")
+    write_markdown_report(ds, path)
+    assert "Summary:" in open(path).read()
