@@ -78,3 +78,63 @@ def test_normalize_tables_total(table, section_text):
     from pdf_parser_ray.kernels.tablekit import normalize_tables
     out = normalize_tables(section_text, [table] if table else [])
     assert isinstance(out, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 10**7)),
+                max_size=60))
+def test_bucket_pairs_invariants(rows):
+    """bucket_pairs: every emitted pair shares a key; every key bucket with
+    >=2 distinct ids yields all its pairs; output is unique, (lo, hi)."""
+    import numpy as np
+    from pdf_parser_ray.stages.dedup import bucket_pairs
+
+    keys = np.array([k for k, _ in rows], dtype=np.uint64)
+    ids = np.array([i for _, i in rows], dtype=np.int64)
+    got = bucket_pairs(keys, ids)
+    got_set = {tuple(p) for p in got}
+    assert len(got_set) == len(got)  # unique
+    # brute-force expectation
+    expect = set()
+    by_key = {}
+    for k, i in rows:
+        by_key.setdefault(k, set()).add(i)
+    for members in by_key.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                expect.add((ms[x], ms[y]))
+    assert got_set == expect
+    for lo, hi in got_set:
+        assert lo < hi
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=2000), st.integers(50, 400))
+def test_chunk_notes_partition(text, limit):
+    """chunk_notes is a PARTITION of the input: concatenation round-trips
+    byte-identically and no chunk exceeds the limit unless unsplittable."""
+    from pdf_parser_ray.kernels.notes import chunk_notes
+
+    chunks = chunk_notes(text, limit=limit)
+    assert "".join(chunks) == text
+    assert all(chunks) or text == ""
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.floats(-100, 100, allow_nan=False), min_size=8,
+                max_size=8))
+def test_srp_sign_invariance(vec):
+    """SRP band keys are invariant under exact (power-of-two) positive
+    scaling — the property that makes recall deterministic for
+    cosine-identical duplicates. (Inexact scales can flip the sign of a
+    projection that lands within float epsilon of zero, so the guarantee
+    is stated for exactly-representable scalings, which covers the
+    doubled-corpus duplicate construction.)"""
+    import pandas as pd
+    from pdf_parser_ray.stages.dedup import SRPBandRows
+
+    udf = SRPBandRows("v", "id", n_planes=16, bands=4)
+    df1 = udf(pd.DataFrame({"id": [1], "v": [vec]}))
+    df2 = udf(pd.DataFrame({"id": [1], "v": [[x * 4.0 for x in vec]]}))
+    assert df1["band_key"].tolist() == df2["band_key"].tolist()
