@@ -67,7 +67,11 @@ def process_notes_model(text: str, classifier,
     is a :class:`..stages.classify.SectionClassifier` (or anything with its
     ``predict(texts)`` API)."""
     chunks = chunk_notes(text, limit)
-    labels, confs = classifier.predict(chunks)
+    # classify on each chunk's HEAD only: the section-type signal is in the
+    # leading heading/sentences, and hashing a full 100k-char chunk costs
+    # ~2 ms/doc of pure feature extraction (measured as an ~18% per-doc
+    # regression when this path first shipped unbounded)
+    labels, confs = classifier.predict([c[:4000] for c in chunks])
     # trim trailing bleed-through only — never drop interior content, and
     # never drop the sole chunk (a notes section IS notes by construction)
     dropped = 0
