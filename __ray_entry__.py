@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_lang_pred": Q.q11_lang_pred,
         "q12_quality_filter": Q.q12_quality_filter,
         "q13_fingerprint": Q.q13_fingerprint,
+        "q14_winnow_fingerprint": Q.q14_winnow_fingerprint,
         # dedup family
         "q20_exact_dedup": Q.q20_exact_dedup,
         "q21_minhash_dedup": Q.q21_minhash_dedup,
@@ -176,6 +177,21 @@ def oracle_sql() -> dict[str, str]:
         "q13_fingerprint": f"""
             SELECT doc_id, {_FP} AS fingerprint
             FROM documents ORDER BY doc_id""",
+        "q14_winnow_fingerprint": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     [md5(array_to_string(toks[i:i+2], ' '))
+                      for i in generate_series(1, len(toks) - 2)] AS hs
+              FROM t WHERE len(toks) >= 3
+            )
+            SELECT DISTINCT doc_id, fp AS fingerprint FROM (
+              SELECT doc_id, list_min(hs[s.j:s.j+3]) AS fp
+              FROM g, UNNEST(generate_series(1,
+                     greatest(1, len(hs) - 3))) AS s(j))
+            ORDER BY doc_id, fingerprint""",
         "q20_exact_dedup": f"""
             SELECT MIN(doc_id) AS doc_id, fingerprint FROM (
               SELECT doc_id, {_FP} AS fingerprint FROM {_DOUBLED})

@@ -216,6 +216,15 @@ def q12_quality_filter(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q14_winnow_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Winnowed rolling-hash fingerprints, exploded (doc_id, fingerprint)."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    df = TS.winnow_dataset(ds, "doc_id").to_pandas().drop_duplicates()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return (df.sort_values(["doc_id", "fingerprint"])
+            .reset_index(drop=True))
+
+
 def q13_fingerprint(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     fp = ds.map_batches(lambda df: TS.add_fingerprint(df),

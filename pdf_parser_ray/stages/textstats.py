@@ -123,3 +123,39 @@ class TextStats:
 def text_stats_dataset(ds, text_col: str = "text", batch_size: int = 1024):
     return ds.map_batches(TextStats(text_col), batch_format="pandas",
                           batch_size=batch_size)
+
+
+def winnow_fingerprints(text: str, k: int = 3, w: int = 4) -> list[str]:
+    """Winnowed k-gram fingerprints (Schleimer/Wilkerson/Aiken winnowing):
+    md5 each word k-gram, slide a w-window keeping each window's minimum,
+    return the sorted distinct minima. md5-hex minima make the selection
+    SQL-expressible (lexicographic MIN over VARCHAR) so the oracle can
+    replicate it exactly. Docs with < k tokens have no fingerprint."""
+    import hashlib
+
+    toks = text.split()
+    if len(toks) < k:
+        return []
+    hs = [hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+          for i in range(len(toks) - k + 1)]
+    n = max(1, len(hs) - w + 1)
+    return sorted({min(hs[j:j + w]) for j in range(n)})
+
+
+def winnow_dataset(ds, id_col: str, text_col: str = "text", *,
+                   k: int = 3, w: int = 4, batch_size: int = 1024):
+    """Exploded (id, fingerprint) rows — the shape a fingerprint index
+    shuffles/joins on (one hash-partition by fingerprint finds every doc
+    pair sharing a winnowed region)."""
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        fps: list[str] = []
+        for did, text in zip(df[id_col], df[text_col].fillna("")):
+            for fp in winnow_fingerprints(text, k, w):
+                ids.append(did)
+                fps.append(fp)
+        return pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                             "fingerprint": pd.Series(fps, dtype="object")})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pandas", batch_size=batch_size)

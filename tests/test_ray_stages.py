@@ -399,3 +399,24 @@ def test_qa_report_rendering(ray_session):
     path = os.path.join(tempfile.mkdtemp(), "report.md")
     write_markdown_report(ds, path)
     assert "Summary:" in open(path).read()
+
+
+def test_winnow_fingerprints(ray_session):
+    """Winnowing: identical texts share all fingerprints; a doc shorter
+    than k has none; near-identical docs share most minima."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import (winnow_dataset,
+                                                 winnow_fingerprints)
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    assert winnow_fingerprints("a b") == []
+    assert winnow_fingerprints(text) == winnow_fingerprints(text)
+    near = text + " extra"
+    shared = set(winnow_fingerprints(text)) & set(winnow_fingerprints(near))
+    assert shared  # near-dup docs share winnowed regions
+    ds = ray.data.from_items([{"doc_id": 1, "text": text},
+                              {"doc_id": 2, "text": ""},
+                              {"doc_id": 3, "text": text}])
+    df = winnow_dataset(ds, "doc_id").to_pandas()
+    assert set(df[df["doc_id"] == 1]["fingerprint"]) == \
+        set(df[df["doc_id"] == 3]["fingerprint"])
+    assert (df["doc_id"] == 2).sum() == 0
