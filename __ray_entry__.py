@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q08_events_props": Q.q08_events_props,
         "q09_events_window": Q.q09_events_window,
         "q15_sessionize": Q.q15_sessionize,
+        "q17_sliding_window": Q.q17_sliding_window,
         "q16_asof_join": Q.q16_asof_join,
         # text analysis
         "q10_doc_stats": Q.q10_doc_stats,
@@ -122,6 +123,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "q17_sliding_window": """
+            SELECT event_type, day,
+                   ROUND(day_value, 2) AS day_value,
+                   ROUND(SUM(day_value) OVER (
+                     PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+                     AS window_value,
+                   n
+            FROM (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     SUM(value) AS day_value, COUNT(*) AS n
+              FROM events GROUP BY 1, 2)
+            ORDER BY event_type, day""",
         "q15_sessionize": """
             SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq
             FROM (

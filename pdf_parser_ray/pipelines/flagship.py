@@ -97,12 +97,60 @@ def dedup_by_url(ds):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def dedup_by_content(corpus_ds):
+    """Exact content dedup over raw PAYLOADS: distinct urls carrying a
+    byte-identical ``html`` payload (mirror copies, re-hosted pages) keep
+    only the min url — the training-data "exact dedup", applied BEFORE
+    extraction so duplicate documents are never parsed at all. (Dedup on
+    *extracted* text could not catch mirrors: the url is deliberately
+    baked into every record's title/front matter.)
+
+    Same shuffle discipline as url-dedup: payload hashing happens inside
+    ``map_batches``; only an ``(url, md5)`` projection leaves the corpus,
+    and the drop decision (bounded by the duplicate count) broadcasts
+    back. Empty payloads are never candidates."""
+    import hashlib
+
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        urls, fps = [], []
+        for url, payload in zip(batch["url"].to_pylist(),
+                                batch["html"].to_pylist()):
+            if payload:
+                urls.append(url)
+                fps.append(hashlib.md5(payload).hexdigest())
+        return pa.table({"url": pa.array(urls, type=pa.string()),
+                         "fp": pa.array(fps, type=pa.string())})
+
+    proj = (corpus_ds.select_columns(["url", "html"])
+            .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if proj.empty:
+        return corpus_ds
+    dup = proj[proj.duplicated("fp", keep=False)]
+    if dup.empty:
+        return corpus_ds
+    keep_urls = set(dup.groupby("fp", sort=False)["url"].min())
+    drop = set(dup["url"]) - keep_urls
+    if not drop:
+        return corpus_ds
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        mask = pa.array([u not in d for u in batch["url"].to_pylist()])
+        return batch.filter(mask)
+
+    return corpus_ds.map_batches(keep, batch_format="pyarrow")
+
+
 def run_flagship(corpus_path, facts_path: str | None = None,
                  out_dir: str | None = None, *, dedup: bool | str = True,
                  consistency: bool = True, concurrency=None,
                  batch_size: int = 16, n_buckets: int = 64,
                  skew_threshold: int = SKEW_SPLIT_BYTES,
-                 sequence_mode: str = "broadcast"):
+                 sequence_mode: str = "broadcast",
+                 content_dedup: bool = False):
     """Build (and optionally write) the flagship extraction Dataset.
 
     ``dedup``: True/"post" drops duplicate-url captures *after* extraction
@@ -144,6 +192,10 @@ def run_flagship(corpus_path, facts_path: str | None = None,
         ds = MAN.resume_filter(ds, out_dir, n_buckets, fingerprint)
     if dedup == "pre":
         ds = dedup_by_url(ds)
+    if content_dedup:
+        # pays one payload-hash pass over the raw input to skip extracting
+        # byte-identical mirror copies entirely
+        ds = dedup_by_content(ds)
 
     # (min, max) pools when actors are requested; never the whole node or
     # the feeder read tasks starve (silent deadlock / 1/3 utilization)

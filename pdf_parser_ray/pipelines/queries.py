@@ -151,6 +151,24 @@ def q09_events_window(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
+def q17_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """7-row trailing window sum of daily event value per event_type."""
+    ds = _read(sf_dir, "events").select_columns(["event_type", "ts", "value"])
+
+    def day(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        return df[["event_type", "day", "value"]]
+
+    out = R.sliding_window_sum(ds.map_batches(day, batch_format="pandas"),
+                               key="event_type", ts_day_col="day",
+                               value_col="value", window=7)
+    out["n"] = out["n"].astype("int64")
+    out["day_value"] = out["day_value"].round(2)
+    out["window_value"] = out["window_value"].round(2)
+    return out[["event_type", "day", "day_value", "window_value", "n"]]
+
+
 def q15_sessionize(sf_dir: str) -> pd.DataFrame:
     """Gap-based sessions (30 min) per user over the events stream."""
     ds = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])

@@ -165,3 +165,25 @@ def sessionize(ds, *, key: str, ts: str, id_col: str,
                                     preserve_index=False)
 
     return ds.groupby(key).map_groups(assign, batch_format="pyarrow")
+
+
+def sliding_window_sum(ds, *, key: str, ts_day_col: str, value_col: str,
+                       window: int = 7) -> pd.DataFrame:
+    """Trailing ROWS-window aggregate over a daily series per key.
+
+    Two-level shape: the heavy data reduces to per-(key, day) partials
+    inside ``map_batches`` (pre-aggregate pattern — the shuffle carries
+    one row per key×day, bounded by calendar size × key cardinality, not
+    by event count); the tiny aggregated frame then gets a vectorized
+    pandas ``rolling`` per key. Matches SQL ``SUM(...) OVER (PARTITION BY
+    key ORDER BY day ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``
+    over the daily aggregate."""
+    daily = pre_aggregate(ds, [key, ts_day_col],
+                          {"day_value": (value_col, "sum"),
+                           "n": (value_col, "count")})
+    daily = daily.sort_values([key, ts_day_col], kind="mergesort")
+    daily["window_value"] = (daily.groupby(key, sort=False)["day_value"]
+                             .transform(lambda s: s.rolling(window,
+                                                            min_periods=1)
+                                        .sum()))
+    return daily.reset_index(drop=True)

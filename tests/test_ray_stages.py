@@ -420,3 +420,29 @@ def test_winnow_fingerprints(ray_session):
     assert set(df[df["doc_id"] == 1]["fingerprint"]) == \
         set(df[df["doc_id"] == 3]["fingerprint"])
     assert (df["doc_id"] == 2).sum() == 0
+
+
+def test_content_dedup_flag(ray_session, tmp_path):
+    """content_dedup=True collapses distinct urls carrying byte-identical
+    payloads to the min url, before extraction ever runs."""
+    import ray.data
+    from pdf_parser_ray.pipelines.flagship import run_flagship
+    from pdf_parser_ray.sources.corpus import synth_corpus
+    rows, facts_rows = synth_corpus(20, seed=7)
+    # duplicate the first doc's payload under new urls
+    dup1 = dict(rows[0], url="https://mirror.example.com/copy-a")
+    dup2 = dict(rows[0], url="https://mirror.example.com/copy-b")
+    ds_rows = rows + [dup1, dup2]
+    import pyarrow as pa
+    ds = ray.data.from_arrow(pa.Table.from_pylist(ds_rows))
+    base = run_flagship(ds, None, concurrency=(1, 2)).to_pandas()
+    deduped = run_flagship(
+        ray.data.from_arrow(pa.Table.from_pylist(ds_rows)), None,
+        concurrency=(1, 2), content_dedup=True).to_pandas()
+    assert len(base) == len(ds_rows)
+    assert len(deduped) == len(ds_rows) - 2
+    survivors = set(deduped["url"])
+    # min url among the three identical-content docs survives
+    trio = sorted([rows[0]["url"], dup1["url"], dup2["url"]])
+    assert trio[0] in survivors
+    assert trio[1] not in survivors and trio[2] not in survivors
