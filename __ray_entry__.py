@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_fingerprint": Q.q13_fingerprint,
         "q14_winnow_fingerprint": Q.q14_winnow_fingerprint,
         # dedup family
+        "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q20_exact_dedup": Q.q20_exact_dedup,
         "q21_minhash_dedup": Q.q21_minhash_dedup,
         "q22_simhash_dedup": Q.q22_simhash_dedup,
@@ -206,6 +207,11 @@ def oracle_sql() -> dict[str, str]:
               FROM g, UNNEST(generate_series(1,
                      greatest(1, len(hs) - 3))) AS s(j))
             ORDER BY doc_id, fingerprint""",
+        "q18_kmv_sketch": """
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS rnk, h
+            FROM (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+                  FROM events ORDER BY h LIMIT 64)
+            ORDER BY rnk""",
         "q20_exact_dedup": f"""
             SELECT MIN(doc_id) AS doc_id, fingerprint FROM (
               SELECT doc_id, {_FP} AS fingerprint FROM {_DOUBLED})

@@ -277,6 +277,18 @@ def _doubled_documents(sf_dir: str, perturb: bool = False):
     return base_pd.union(base_pd.map_batches(shift, batch_format="pandas"))
 
 
+def q18_kmv_sketch(sf_dir: str) -> pd.DataFrame:
+    """KMV distinct sketch over events.user_id — the k smallest distinct
+    md5 hashes, exactly replicable in SQL (the estimate itself is
+    approximate; the sketch content is deterministic)."""
+    from ..stages.sketch import kmv_sketch
+    ds = _read(sf_dir, "events").select_columns(["user_id"])
+    hs = kmv_sketch(ds, "user_id", k=64)
+    return pd.DataFrame({"rnk": pd.Series(range(1, len(hs) + 1),
+                                          dtype="int64"),
+                         "h": hs})
+
+
 def q20_exact_dedup(sf_dir: str) -> pd.DataFrame:
     ds = _doubled_documents(sf_dir)
     fp = ds.map_batches(lambda df: TS.add_fingerprint(df),

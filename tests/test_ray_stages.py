@@ -446,3 +446,29 @@ def test_content_dedup_flag(ray_session, tmp_path):
     trio = sorted([rows[0]["url"], dup1["url"], dup2["url"]])
     assert trio[0] in survivors
     assert trio[1] not in survivors and trio[2] not in survivors
+
+
+def test_sketches(ray_session):
+    """KMV sketch content is deterministic and its estimate (like HLL's)
+    lands within sane error of the exact distinct count."""
+    import ray.data
+    from pdf_parser_ray.stages.sketch import (hll_estimate, hll_sketch,
+                                              kmv_estimate, kmv_sketch)
+    n_distinct = 1500
+    rows = [{"v": i % n_distinct} for i in range(6000)]
+    ds = ray.data.from_items(rows)
+    hs = kmv_sketch(ds, "v", k=64)
+    assert hs == sorted(hs) and len(hs) == 64
+    est = kmv_estimate(hs, 64)
+    assert abs(est - n_distinct) / n_distinct < 0.30
+    # exact mode below k
+    small = ray.data.from_items([{"v": i} for i in range(20)])
+    hs_small = kmv_sketch(small, "v", k=64)
+    assert kmv_estimate(hs_small, 64) == 20.0
+    regs = hll_sketch(ds, "v", p=12)
+    est = hll_estimate(regs)
+    assert abs(est - n_distinct) / n_distinct < 0.05
+    # merge law: sketch of halves == elementwise max
+    a = hll_sketch(ray.data.from_items(rows[:3000]), "v", p=12)
+    b = hll_sketch(ray.data.from_items(rows[3000:]), "v", p=12)
+    assert (np.maximum(a, b) == regs).all()
