@@ -402,7 +402,14 @@ def _ivf_index(sf_dir: str) -> "SIM.IVFIndex":
         import os
         import tempfile
 
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        # the fingerprint ties the persisted index to the INPUT's identity
+        # (path + size + mtime) — a /tmp index surviving a testdata refresh
+        # must rebuild, not silently serve stale partitions
+        src = f"{sf_dir}/embeddings.parquet"
+        stat = os.stat(src)
+        tag = hashlib.md5(
+            f"{src}:{stat.st_size}:{stat.st_mtime_ns}".encode()
+        ).hexdigest()[:12]
         index_dir = os.path.join(tempfile.gettempdir(),
                                  f"pdf_parser_ray_ivf_{tag}")
         if os.path.exists(os.path.join(index_dir, "_centroids.parquet")):
