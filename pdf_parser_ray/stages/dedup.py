@@ -121,18 +121,62 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     return vals.min(axis=1).astype(np.uint64)
 
 
+# FNV-64 prime powers (cycle 64) for the vectorized token hash below
+_POW64 = np.array([pow(0x100000001B3, i, 1 << 64) for i in range(64)],
+                  dtype=np.uint64)
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+_BIT_W = (np.uint64(1) << _BIT_IDX)
+
+
+def _hash_strings_vec(strings: list[str]) -> np.ndarray:
+    """Stable uint64 hash per string, fully vectorized: Arrow does the
+    UTF-8 encoding in C, then a position-weighted polynomial over the raw
+    byte buffer (same construction as ``manifest.url_bucket``) plus a
+    splitmix64 finalize. No per-string Python hashing."""
+    if not strings:
+        return np.empty(0, dtype=np.uint64)
+    la = pa.array(strings, type=pa.string()).cast(pa.large_binary())
+    offsets = np.frombuffer(la.buffers()[1], dtype=np.int64)[:len(strings) + 1]
+    data = np.frombuffer(la.buffers()[2], dtype=np.uint8)
+    seg = data[offsets[0]:offsets[-1]].astype(np.uint64)
+    rel = (offsets - offsets[0]).astype(np.int64)
+    lengths = np.diff(rel)
+    sums = np.zeros(len(strings), dtype=np.uint64)
+    if seg.size:
+        pos = np.arange(seg.size, dtype=np.int64) - np.repeat(rel[:-1], lengths)
+        weighted = (seg + np.uint64(1)) * _POW64[pos & 63]
+        nz = lengths > 0
+        sums[nz] = np.add.reduceat(weighted, rel[:-1][nz])
+    return _mix64(sums ^ (lengths.astype(np.uint64) << np.uint64(32)))
+
+
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """64-bit SimHash per text, batch-vectorized: all tokens of the batch
+    hash in one Arrow-buffer pass, bit votes reduce per document via
+    ``np.add.reduceat``. Replaces the r1 per-token crc32 Python loop
+    (the q22 hot spot)."""
+    toks_per_doc = [_tokens(t or "") for t in texts]
+    counts = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    all_toks = [tok for ts in toks_per_doc for tok in ts]
+    if not all_toks:
+        return out
+    hashes = _hash_strings_vec(all_toks)
+    bits = ((hashes[:, None] >> _BIT_IDX[None, :]) & np.uint64(1))
+    signed = 2 * bits.astype(np.int32) - 1  # (n_tokens, 64)
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    nz = counts > 0
+    votes = np.add.reduceat(signed, starts[nz], axis=0)
+    packed = ((votes >= 0).astype(np.uint64) * _BIT_W[None, :]).sum(axis=1)
+    out[nz] = packed
+    return out
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (stable crc32-based)."""
-    toks = _tokens(text)
-    if not toks:
-        return 0
-    hashes = np.array([zlib.crc32(t.encode()) * 2654435761 % (1 << 64)
-                       for t in toks], dtype=np.uint64)
-    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)).astype(np.int64)
-    votes = (2 * bits - 1).sum(axis=0)
-    return int(((votes >= 0).astype(np.uint64)
-                << np.arange(64, dtype=np.uint64)).sum())
+    """64-bit SimHash over word tokens (stable; single-text view of
+    :func:`simhash64_batch`)."""
+    return int(simhash64_batch([text])[0])
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
@@ -502,8 +546,7 @@ def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
                                  "band_key": pd.Series(dtype="uint64"),
                                  "band_part": pd.Series(dtype="int64"),
                                  "sig": pd.Series(dtype="uint64")})
-        sigs = np.array([simhash64(t) for t in df[text_col].fillna("")],
-                        dtype=np.uint64)
+        sigs = simhash64_batch(df[text_col].fillna("").tolist())
         ids = df[id_col].to_numpy()
         frames = []
         for bi in range(n_bands):
