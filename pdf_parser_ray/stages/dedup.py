@@ -43,8 +43,6 @@ collects):
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -92,16 +90,22 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Stable uint64 hashes of word k-shingles (crc32 → splitmix64)."""
+    """Stable uint64 hashes of word k-shingles, vectorized: tokens hash
+    once via the Arrow-buffer pass (:func:`_hash_strings_vec`), then each
+    k-window combines by sequential splitmix64 mixing of the k shifted
+    hash arrays — order-sensitive, no per-shingle string joins or crc32
+    calls (the r1 minhash hot spot). Fewer than k tokens collapse to one
+    whole-text shingle, matching the r1 semantics."""
     toks = _tokens(text)
-    if len(toks) < k:
-        joined = [" ".join(toks)] if toks else []
-    else:
-        joined = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    if not joined:
+    if not toks:
         return np.zeros(1, dtype=np.uint64)
-    raw = np.array([zlib.crc32(s.encode()) for s in joined], dtype=np.uint64)
-    return np.unique(_mix64(raw))
+    th = _hash_strings_vec(toks)
+    kk = min(k, len(th))
+    m = len(th) - kk + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(kk):  # k is 3 — tiny fixed loop, vector ops inside
+        acc = _mix64(acc ^ th[j:j + m])
+    return np.unique(acc)
 
 
 _MERSENNE = np.uint64((1 << 61) - 1)
