@@ -14,7 +14,6 @@ from __future__ import annotations
 import hashlib
 import re
 
-import numpy as np
 import pandas as pd
 
 # Marker-word regexes per language (word-bounded, case-insensitive via
