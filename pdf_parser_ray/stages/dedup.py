@@ -53,17 +53,26 @@ import pyarrow.compute as pc
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(ds, key_col: str, id_col: str, *, keep_cols=None):
-    """Keep one row (min id) per distinct key. Shuffles only once on key."""
-    def first(group: pa.Table) -> pa.Table:
-        if group.num_rows == 1:
-            return group
-        order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
-        return group.take(order[:1])
+def exact_dedup(ds, key_col: str, id_col: str, *, keep_cols=None,
+                n_parts: int = 64):
+    """Keep one row (min id) per distinct key. One shuffle, on a COARSENED
+    key (hash(key) % n_parts) so partition count is decoupled from key
+    cardinality; the within-partition winner pick is a vectorized pandas
+    sort + drop_duplicates over every key the partition holds."""
+    from .relational import add_coarse_part
 
     if keep_cols:
         ds = ds.select_columns(list({key_col, id_col, *keep_cols}))
-    return ds.groupby(key_col).map_groups(first, batch_format="pyarrow")
+
+    def first(group: pa.Table) -> pa.Table:
+        df = (group.to_pandas()
+              .sort_values([key_col, id_col], kind="mergesort")
+              .drop_duplicates(key_col, keep="first"))
+        return pa.Table.from_pandas(df.drop(columns=["_kpart"]),
+                                    preserve_index=False)
+
+    return (add_coarse_part(ds, key_col, n_parts)
+            .groupby("_kpart").map_groups(first, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------

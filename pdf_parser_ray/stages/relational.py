@@ -75,25 +75,62 @@ def broadcast_join(ds, small_df: pd.DataFrame, *, on: str,
     return ds.map_batches(join, batch_format="pandas", batch_size=batch_size)
 
 
-def grouped_rank(ds, key: str, order_by: list[str], rank_col: str = "rnk"):
-    """row_number() over (partition by key order by order_by) as a grouped
-    shuffle; deterministic via full order_by tie-breaks."""
-    def rank(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(order_by, kind="mergesort")
-        df[rank_col] = range(1, len(df) + 1)
-        return pa.Table.from_pandas(df, preserve_index=False)
+def add_coarse_part(ds, key: str, n_parts: int = 64,
+                    part_col: str = "_kpart"):
+    """Append a COARSENED partition key — hash(key) % n_parts — so a
+    downstream ``groupby(part_col)`` co-locates all rows of each key while
+    the executor sees ``n_parts`` groups instead of one per key (Ray's
+    ``map_groups`` costs ~0.25 ms of Python per group; 15k customer keys
+    cost ~4 s of pure dispatch). Works for string and integer keys."""
+    from .manifest import _mix64, url_bucket
 
-    return ds.groupby(key).map_groups(rank, batch_format="pyarrow")
+    import numpy as np
+
+    def add(batch: pa.Table) -> pa.Table:
+        col = batch[key]
+        if pa.types.is_integer(col.type):
+            vals = col.combine_chunks().to_numpy(zero_copy_only=False) \
+                if isinstance(col, pa.ChunkedArray) else \
+                col.to_numpy(zero_copy_only=False)
+            part = (_mix64(vals.astype(np.uint64))
+                    % np.uint64(n_parts)).astype(np.int64)
+            arr = pa.array(part, type=pa.int64())
+        else:
+            arr = url_bucket(col.cast(pa.string()), n_parts).cast(pa.int64())
+        return batch.append_column(part_col, arr)
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def grouped_rank(ds, key: str, order_by: list[str], rank_col: str = "rnk",
+                 n_parts: int = 64):
+    """row_number() over (partition by key order by order_by) as a grouped
+    shuffle; deterministic via full order_by tie-breaks. The shuffle key is
+    coarsened (see :func:`add_coarse_part`); ranking within a partition is
+    a vectorized pandas sort + grouped cumcount over every key it holds."""
+    def rank(group: pa.Table) -> pa.Table:
+        df = (group.to_pandas()
+              .sort_values([key, *order_by], kind="mergesort"))
+        df[rank_col] = df.groupby(key, sort=False).cumcount() + 1
+        return pa.Table.from_pandas(df.drop(columns=["_kpart"]),
+                                    preserve_index=False)
+
+    return (add_coarse_part(ds, key, n_parts)
+            .groupby("_kpart").map_groups(rank, batch_format="pyarrow"))
 
 
 def first_per_key(ds, key: str, order_by: list[str], *,
-                  keep: list[str]):
-    """arg_min-style first row per key (deterministic order_by)."""
+                  keep: list[str], n_parts: int = 64):
+    """arg_min-style first row per key (deterministic order_by); same
+    coarsened-shuffle shape as :func:`grouped_rank`."""
     def first(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(order_by, kind="mergesort").head(1)
+        df = (group.to_pandas()
+              .sort_values([key, *order_by], kind="mergesort")
+              .drop_duplicates(key, keep="first"))
         return pa.Table.from_pandas(df[[key, *keep]], preserve_index=False)
 
-    return ds.groupby(key).map_groups(first, batch_format="pyarrow")
+    return (add_coarse_part(ds, key, n_parts)
+            .groupby("_kpart").map_groups(first, batch_format="pyarrow"))
 
 
 def topk(ds, by: str, k: int, *, ascending: bool = False,
