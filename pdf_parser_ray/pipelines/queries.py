@@ -458,7 +458,7 @@ def q40_frame_sample(sf_dir: str) -> pd.DataFrame:
     frames = media.map_batches(
         SampleFrames, fn_constructor_kwargs={"payload_col": "payload",
                                              "n_frames": 4},
-        batch_format="pandas", batch_size=64, concurrency=(1, 2))
+        batch_format="pandas", batch_size=64, concurrency=(1, 8))
     df = frames.to_pandas()
     df["media_id"] = df["media_id"].astype("int64")
     df["frame_idx"] = df["frame_idx"].astype("int64")
