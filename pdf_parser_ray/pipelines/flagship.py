@@ -108,7 +108,14 @@ def dedup_by_content(corpus_ds):
     Same shuffle discipline as url-dedup: payload hashing happens inside
     ``map_batches``; only an ``(url, md5)`` projection leaves the corpus,
     and the drop decision (bounded by the duplicate count) broadcasts
-    back. Empty payloads are never candidates."""
+    back. Empty payloads are never candidates.
+
+    Resume interaction: on a resumed run the decision pass sees only
+    PENDING rows (completed buckets are filtered upstream), so a mirror
+    pair split across a completed bucket and a pending row keeps both —
+    conservative (no data loss, a duplicate survives). Full consistency
+    across resumes would need the fingerprint projection of written
+    buckets unioned in, the same pattern the consistency aggregates use."""
     import hashlib
 
     import ray

@@ -472,3 +472,29 @@ def test_sketches(ray_session):
     a = hll_sketch(ray.data.from_items(rows[:3000]), "v", p=12)
     b = hll_sketch(ray.data.from_items(rows[3000:]), "v", p=12)
     assert (np.maximum(a, b) == regs).all()
+
+
+def test_dedup_degenerate_inputs(ray_session):
+    """Near-dup stages must handle 1-doc corpora, empty texts, and
+    all-identical corpora without special-casing upstream."""
+    import ray.data
+    from pdf_parser_ray.stages.dedup import (embedding_dedup,
+                                             minhash_lsh_dedup,
+                                             simhash_dedup)
+    one = ray.data.from_items([{"doc_id": 1, "text": "only doc here"}])
+    c = minhash_lsh_dedup(one, "text", "doc_id")
+    assert c["rep"].tolist() == [1]
+    empty_texts = ray.data.from_items(
+        [{"doc_id": i, "text": ""} for i in range(4)])
+    c = simhash_dedup(empty_texts, "text", "doc_id")
+    # empty texts share simhash 0 -> all cluster to min id
+    assert set(c["rep"]) == {0}
+    same = ray.data.from_items(
+        [{"doc_id": i, "text": "identical words repeated here four times"}
+         for i in range(6)])
+    c = minhash_lsh_dedup(same, "text", "doc_id", threshold=0.9)
+    assert set(c["rep"]) == {0}
+    vecs = ray.data.from_items(
+        [{"vec_id": i, "embedding": [1.0, 0.0, 0.0]} for i in range(3)])
+    c = embedding_dedup(vecs, "embedding", "vec_id", threshold=0.99)
+    assert set(c["rep"]) == {0}
