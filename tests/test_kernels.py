@@ -264,3 +264,41 @@ def test_batched_tier3_parity():
     b = LabelNormalizer()
     expect = [b.match(lab).canonical or "" for lab, *_ in rows]
     assert [r[1] for r in a] == expect
+
+
+def test_period_type_edge_matrix():
+    """Reference tests/test_metadata.py TestInferPeriodType matrix,
+    rebuilt: amended forms, quarter months, unknowns, case folding."""
+    assert FM.infer_period_type("10-K", "December 31, 2024") == "FY"
+    assert FM.infer_period_type("10-K/A", "December 31, 2024") == "FY"
+    assert FM.infer_period_type("10-Q", "March 31, 2024") == "Q1"
+    assert FM.infer_period_type("10-Q", "June 30, 2024") == "Q2"
+    assert FM.infer_period_type("10-Q", "September 30, 2024") == "Q3"
+    assert FM.infer_period_type("10-Q", "December 31, 2024") == "Q?"
+    assert FM.infer_period_type("10-Q", "") == "Q?"
+    assert FM.infer_period_type("10-Q", "JUNE 30, 2024") == "Q2"
+
+
+def test_infer_scale_edge_matrix():
+    """Reference TestInferScale matrix: all magnitudes + fallbacks."""
+    assert FM.infer_scale("(in thousands, except per share data)") == "thousands"
+    assert FM.infer_scale("(In millions)") == "millions"
+    assert FM.infer_scale("(in billions)") == "billions"
+    assert FM.infer_scale("something else entirely") == "units"
+    assert FM.infer_scale("") == "units"
+    assert FM.infer_scale(None) == "units"
+
+
+def test_front_matter_yaml_shape():
+    """Reference YAML front-matter contract: delimiters, key:value lines,
+    special-char quoting, booleans, integers."""
+    md = FM.front_matter({"company": "Ember: Labs, Inc.", "audited": True,
+                          "filing_sequence": 3,
+                          "confidence": {"income_statement": 0.9}})
+    lines = md.strip().splitlines()
+    assert lines[0] == "---" and lines[-1] == "---"
+    assert any(l.startswith("company:") and '"' in l for l in lines), \
+        "special chars must be quoted"
+    assert "audited: true" in md
+    assert "filing_sequence: 3" in md
+    assert "  income_statement: 0.9" in md
