@@ -302,3 +302,38 @@ def test_front_matter_yaml_shape():
     assert "audited: true" in md
     assert "filing_sequence: 3" in md
     assert "  income_statement: 0.9" in md
+
+
+def test_filing_start_page_matrix():
+    """Reference tests/test_detect.py start-page matrix, rebuilt against
+    our Page type: cover on p1 / later cover / registrant line / embedded
+    footer / no markers / TOC skipped / footer on p1."""
+    from pdf_parser_ray.kernels.doctype import find_filing_start
+    from pdf_parser_ray.kernels.html_tokenizer import Page
+
+    def P(n, text):
+        return Page(number=n, text=text)
+
+    cover = ("UNITED STATES SECURITIES AND EXCHANGE COMMISSION\n"
+             "Washington, D.C. 20549\nFORM 10-K\n")
+    assert find_filing_start([P(1, cover), P(2, "Other content")]) == 1
+    assert find_filing_start(
+        [P(1, "Dear Fellow Shareholders,\nAnnual letter..."),
+         P(2, "More letter content"), P(50, cover)]) == 50
+    assert find_filing_start(
+        [P(1, "Annual Report 2024"),
+         P(30, "Acme Inc.\n(Exact name of registrant as specified in "
+               "its charter)\n")]) == 30
+    assert find_filing_start(
+        [P(1, "Annual Report 2024\nDear shareholders..."),
+         P(2, "Performance highlights and charts..."),
+         P(83, "Table of contents\n50 Three-Year Summary\n52 Introduction\n"
+               "Sample Bank & Co./2024 Form 10-K 49\n")]) == 83
+    assert find_filing_start(
+        [P(1, "Some random PDF content"), P(2, "More content")]) == 1
+    toc = ("TABLE OF CONTENTS\nFORM 10-K.............. 5\n"
+           "Risk Factors........... 10\nBalance Sheet.......... 20\n")
+    assert find_filing_start([P(1, toc), P(5, cover)]) == 5
+    assert find_filing_start(
+        [P(1, "Company Inc./2024 Form 10-K 1\nSome content"),
+         P(2, "More content")]) == 1
