@@ -337,3 +337,66 @@ def test_filing_start_page_matrix():
     assert find_filing_start(
         [P(1, "Company Inc./2024 Form 10-K 1\nSome content"),
          P(2, "More content")]) == 1
+
+
+def test_validation_matrix():
+    """Reference tests/test_validate.py matrix, rebuilt: numeric parsing
+    variants, tolerance boundaries (exact PASS / <=1% WARN / >1% FAIL),
+    per-statement checks incl. SKIP paths and combined-line balance."""
+    assert C.parse_numeric("(500)") == -500.0
+    assert C.parse_numeric("$ (1,234)") == -1234.0
+    assert C.parse_numeric("€500") == 500.0
+    for dash in ("—", "-", "–"):
+        assert C.parse_numeric(dash) is None
+    assert C.parse_numeric("  ") is None
+
+    assert C._compare("t", 100.0, 100.0).status == "PASS"
+    assert C._compare("t", 1000.0, 1005.0).status == "WARN"   # 0.5% off
+    assert C._compare("t", 1000.0, 1050.0).status == "FAIL"   # 5% off
+
+    warn = C.check_balance_sheet({"Total Assets": [1000.0],
+                                  "Total Liabilities": [600.0],
+                                  "Total Stockholders' Equity": [405.0]})
+    assert any(r.status == "WARN" for r in warn)
+    fail = C.check_balance_sheet({"Total Assets": [1000.0],
+                                  "Total Liabilities": [600.0],
+                                  "Total Stockholders' Equity": [500.0]})
+    assert any(r.status == "FAIL" for r in fail)
+    skip = C.check_balance_sheet({"Total Assets": [1000.0]})
+    assert any(r.status == "SKIP" for r in skip)
+    combined = C.check_balance_sheet(
+        {"Total Assets": [1000.0],
+         "Total Liabilities & Stockholders' Equity": [1000.0]})
+    assert any(r.status == "PASS" for r in combined)
+
+    gp = C.check_income_statement({"Revenue": [1000.0],
+                                   "Cost of Revenue": [600.0],
+                                   "Gross Profit": [400.0]})
+    assert any(r.status == "PASS" and "Gross Profit" in r.check for r in gp)
+    gp_skip = C.check_income_statement({"Revenue": [1000.0]})
+    assert any(r.status == "SKIP" and "Gross Profit" in r.check
+               for r in gp_skip)
+    ni = C.check_income_statement({"Net Income": [100.0]})
+    assert any(r.status == "PASS" and "Net Income" in r.check for r in ni)
+
+    cf = C.check_cash_flow({"Beginning Cash": [100.0],
+                            "Net Change in Cash": [50.0],
+                            "Ending Cash": [150.0]})
+    assert any(r.status == "PASS" and "Reconcil" in r.check for r in cf)
+    acts = C.check_cash_flow({"Net Cash from Operations": [100.0],
+                              "Net Cash from Investing": [-50.0],
+                              "Net Cash from Financing": [-30.0]})
+    assert any(r.status == "PASS" and "Activity" in r.check for r in acts)
+    missing = C.check_cash_flow({"Net Cash from Operations": [100.0]})
+    assert any(r.status in ("WARN", "FAIL") and "Activity" in r.check
+               for r in missing)
+
+    # cross-statement: restricted-cash retry turns a FAIL into PASS/WARN
+    cross = C.check_cross_statement({
+        "income_statement": {"Net Income": [100.0]},
+        "cash_flow": {"Net Income": [100.0], "Ending Cash": [150.0]},
+        "balance_sheet": {"Cash & Cash Equivalents": [120.0],
+                          "Restricted Cash": [30.0]},
+    })
+    cash = [r for r in cross if "Cash (CF Ending vs BS)" in r.check][0]
+    assert cash.status in ("PASS", "WARN") and "restricted" in cash.detail
