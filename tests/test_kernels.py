@@ -400,3 +400,26 @@ def test_validation_matrix():
     })
     cash = [r for r in cross if "Cash (CF Ending vs BS)" in r.check][0]
     assert cash.status in ("PASS", "WARN") and "restricted" in cash.detail
+
+
+def test_prose_table_hard_filter_boundaries():
+    """Reference TestIsProseTableHardFilter, rebuilt: >50-row <30%-numeric
+    hard cutoff with exact boundary semantics."""
+    assert TK.is_prose_table([["word"] * 8 for _ in range(60)]) is True
+    assert TK.is_prose_table(
+        [["Line item", "1,234", "5,678", "9,012"] for _ in range(60)]) is False
+    # 30 rows, 4 cols: neither hard (<=50 rows) nor soft (<=6 cols) filter
+    assert TK.is_prose_table([["word"] * 4 for _ in range(30)]) is False
+    assert TK.is_prose_table(
+        [["some", "prose", "text", "here", "in", "cols", "many", "words"]
+         for _ in range(51)]) is True
+
+
+def test_cover_render_table_shape():
+    """Reference parse_cover_page output contract: markdown field/value
+    table with header + separator + data rows."""
+    lines = COV.render_cover(SAMPLE_COVER).strip().split("\n")
+    assert lines[0] == "| Field | Value |"
+    assert lines[1].startswith("|") and set(lines[1]) <= set("|- ")
+    assert len(lines) >= 3
+    assert COV.extract_cover_fields("") == []
