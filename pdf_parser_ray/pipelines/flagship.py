@@ -87,12 +87,13 @@ def dedup_by_url(ds):
     keep_ref = ray.put(keep_ts)
 
     def keep(batch: pa.Table) -> pa.Table:
+        import pandas as pd
         kmap = ray.get(keep_ref)
-        urls = batch["url"].to_pylist()
-        ts = batch["warc_ts"].to_pylist()
-        mask = [u not in kmap or str(t) == kmap[u]
-                for u, t in zip(urls, ts)]
-        return batch.filter(pa.array(mask))
+        urls = pd.Series(batch["url"].to_pylist())
+        ts = pd.Series([str(t) for t in batch["warc_ts"].to_pylist()])
+        winner_ts = urls.map(kmap)
+        mask = winner_ts.isna() | (ts == winner_ts)
+        return batch.filter(pa.array(mask.to_numpy()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 

@@ -189,9 +189,9 @@ def write_partitioned(extracted_ds, out_dir: str, n_buckets: int = 64,
     # partition_cols drops a stray file at the output root, breaking
     # hive-partition reads — empty buckets/waves must be skipped entirely
     def bucket_counts(batch: pa.Table) -> pa.Table:
-        import collections
-        c = collections.Counter(batch["bucket"].to_pylist())
-        return pa.table({"bucket": list(c), "n": list(c.values())})
+        vc = pc.value_counts(batch["bucket"])
+        return pa.table({"bucket": vc.field("values"),
+                         "n": vc.field("counts")})
 
     counts: dict[int, int] = {}
     for r in ds.select_columns(["bucket"]).map_batches(
