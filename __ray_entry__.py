@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_winnow_fingerprint": Q.q14_winnow_fingerprint,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
+        "q19_unigram_quality": Q.q19_unigram_quality,
         "q20_exact_dedup": Q.q20_exact_dedup,
         "q21_minhash_dedup": Q.q21_minhash_dedup,
         "q22_simhash_dedup": Q.q22_simhash_dedup,
@@ -207,6 +208,19 @@ def oracle_sql() -> dict[str, str]:
               FROM g, UNNEST(generate_series(1,
                      greatest(1, len(hs) - 3))) AS s(j))
             ORDER BY doc_id, fingerprint""",
+        "q19_unigram_quality": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+              FROM documents
+            ), freq AS (
+              SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+            ), tot AS (SELECT SUM(c) AS t FROM freq)
+            SELECT toks.doc_id,
+                   ROUND(AVG(ln(freq.c / tot.t)), 6) AS logprob_mean
+            FROM toks, freq, tot
+            WHERE toks.tok = freq.tok
+            GROUP BY toks.doc_id ORDER BY toks.doc_id""",
         "q18_kmv_sketch": """
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS rnk, h
             FROM (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h

@@ -277,6 +277,14 @@ def _doubled_documents(sf_dir: str, perturb: bool = False):
     return base_pd.union(base_pd.map_batches(shift, batch_format="pandas"))
 
 
+def q19_unigram_quality(sf_dir: str) -> pd.DataFrame:
+    """Fit-then-score unigram LM corpus-likelihood quality signal."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = TS.unigram_logprob(ds, "doc_id")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
 def q18_kmv_sketch(sf_dir: str) -> pd.DataFrame:
     """KMV distinct sketch over events.user_id — the k smallest distinct
     md5 hashes, exactly replicable in SQL (the estimate itself is

@@ -14,6 +14,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pandas as pd
 
 # Marker-word regexes per language (word-bounded, case-insensitive via
@@ -158,3 +159,59 @@ def winnow_dataset(ds, id_col: str, text_col: str = "text", *,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pandas", batch_size=batch_size)
+
+
+def unigram_logprob(ds, id_col: str, text_col: str = "text",
+                    *, batch_size: int = 1024) -> pd.DataFrame:
+    """Fit-then-score unigram language-model quality scoring.
+
+    Phase 1 (fit): per-batch token-count partials → one tiny global
+    frequency table (pre-aggregate discipline — the shuffle carries one
+    row per (batch × distinct token), never per token occurrence).
+    Phase 2 (score): the log-frequency table broadcasts once (``ray.put``)
+    and each batch scores via vectorized explode → map → groupby-mean.
+
+    Returns pandas ``(id, logprob_mean)`` per doc with ≥1 token — the
+    classic corpus-likelihood quality signal (low = gibberish/outlier).
+    At web scale the vocabulary table is pruned to top-K + an OOV floor
+    before broadcast; the synthetic vocab here is small enough to ship
+    whole, so the score is exactly SQL-replicable.
+    """
+    import ray
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in df[text_col].fillna(""):
+            c.update(t.lower().split())
+        return pd.DataFrame({"tok": pd.Series(list(c), dtype="object"),
+                             "c": pd.Series(list(c.values()),
+                                            dtype="int64")})
+
+    parts = (ds.select_columns([text_col])
+             .map_batches(tok_counts, batch_format="pandas",
+                          batch_size=batch_size).to_pandas())
+    freq = parts.groupby("tok", sort=False)["c"].sum()
+    total = float(freq.sum())
+    logp = np.log(freq / total)
+    logp_ref = ray.put(logp.to_dict())
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(logp_ref)
+        toks = (df[[id_col, text_col]]
+                .assign(tok=df[text_col].fillna("").str.lower().str.split())
+                .explode("tok"))
+        toks = toks[toks["tok"].notna()]
+        if toks.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "logprob_mean": pd.Series(dtype="float64")})
+        toks["lp"] = toks["tok"].map(table)
+        out = (toks.groupby(id_col, sort=False)["lp"].mean()
+               .reset_index().rename(columns={"lp": "logprob_mean"}))
+        return out
+
+    scored = (ds.select_columns([id_col, text_col])
+              .map_batches(score, batch_format="pandas",
+                           batch_size=batch_size).to_pandas())
+    scored["logprob_mean"] = scored["logprob_mean"].round(6)
+    return scored.sort_values(id_col).reset_index(drop=True)

@@ -498,3 +498,19 @@ def test_dedup_degenerate_inputs(ray_session):
         [{"vec_id": i, "embedding": [1.0, 0.0, 0.0]} for i in range(3)])
     c = embedding_dedup(vecs, "embedding", "vec_id", threshold=0.99)
     assert set(c["rep"]) == {0}
+
+
+def test_unigram_logprob_quality_signal(ray_session):
+    """Fit-then-score unigram LM: common-word docs score higher than
+    rare-word docs; empty docs are excluded."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import unigram_logprob
+    rows = ([{"doc_id": i, "text": "the common words appear often"}
+             for i in range(9)]
+            + [{"doc_id": 100, "text": "zyxwv qqqq unique rarities"},
+               {"doc_id": 101, "text": ""}])
+    out = unigram_logprob(ray.data.from_items(rows), "doc_id")
+    assert 101 not in set(out["doc_id"])  # empty doc has no score
+    common = out[out["doc_id"] == 0]["logprob_mean"].iloc[0]
+    rare = out[out["doc_id"] == 100]["logprob_mean"].iloc[0]
+    assert common > rare
