@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "q40_frame_sample": Q.q40_frame_sample,
         # flagship extraction (non-SQL semantics)
+        "q60_train_split": Q.q60_train_split,
         "q50_extract": Q.q50_extract,
         "q51_qa_summary": Q.q51_qa_summary,
     }
@@ -259,6 +260,14 @@ def oracle_sql() -> dict[str, str]:
                    md5(md5(text) || ':' || CAST(fi AS VARCHAR)) AS frame_hash
             FROM documents, range(4) t(fi)
             ORDER BY media_id, frame_idx""",
+        "q60_train_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                             < 'e666' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                             < 'f333' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id""",
         # q31_knn_ivf: approximate by design (recall < 1), rows-only check
         # q50_extract: per-document extraction semantics are not SQL
     }

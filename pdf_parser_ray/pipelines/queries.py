@@ -277,6 +277,14 @@ def _doubled_documents(sf_dir: str, perturb: bool = False):
     return base_pd.union(base_pd.map_batches(shift, batch_format="pandas"))
 
 
+def q60_train_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment per document."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"])
+    out = TS.assign_split(ds, "doc_id").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q19_unigram_quality(sf_dir: str) -> pd.DataFrame:
     """Fit-then-score unigram LM corpus-likelihood quality signal."""
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])

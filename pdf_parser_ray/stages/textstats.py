@@ -215,3 +215,25 @@ def unigram_logprob(ds, id_col: str, text_col: str = "text",
                            batch_size=batch_size).to_pandas())
     scored["logprob_mean"] = scored["logprob_mean"].round(6)
     return scored.sort_values(id_col).reset_index(drop=True)
+
+
+SPLIT_BOUNDS = (("train", "e666"), ("val", "f333"))  # 90% / 5% / 5%
+
+
+def assign_split(ds, id_col: str, *, batch_size: int = 4096):
+    """Deterministic train/val/test split by stable content-free hash:
+    the first 4 hex chars of md5(id) partition [0, 0xffff] at 90%/95%
+    (lexicographic hex comparison == numeric comparison at fixed width).
+    Pure per-batch map — no shuffle, no state, reproducible on any
+    cluster size; the exact rule is SQL-replicable for the oracle."""
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(v).encode()).hexdigest()[:4]
+             for v in df[id_col]]
+        out = df[[id_col]].copy()
+        out["split"] = ["train" if x < SPLIT_BOUNDS[0][1]
+                        else ("val" if x < SPLIT_BOUNDS[1][1] else "test")
+                        for x in h]
+        return out
+
+    return ds.select_columns([id_col]).map_batches(
+        split, batch_format="pandas", batch_size=batch_size)
