@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_sessionize": Q.q15_sessionize,
         "q17_sliding_window": Q.q17_sliding_window,
         "q16_asof_join": Q.q16_asof_join,
+        "q61_range_join": Q.q61_range_join,
+        "q62_value_quantiles": Q.q62_value_quantiles,
         # text analysis
         "q10_doc_stats": Q.q10_doc_stats,
         "q11_lang_pred": Q.q11_lang_pred,
@@ -153,6 +155,21 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY ts, event_id) AS prev_ts
                     FROM events))
             ORDER BY event_id""",
+        "q61_range_join": """
+            WITH w AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+              FROM events)
+            SELECT e.event_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events e JOIN w
+              ON e.user_id = w.user_id
+             AND e.ts >= w.d AND e.ts < w.d + INTERVAL 2 DAY
+            GROUP BY e.event_id ORDER BY e.event_id""",
+        "q62_value_quantiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 6) AS q50,
+                   ROUND(quantile_cont(value, 0.9), 6) AS q90,
+                   ROUND(quantile_cont(value, 0.99), 6) AS q99
+            FROM events GROUP BY 1 ORDER BY 1""",
         "q16_asof_join": """
             SELECT e.event_id, o.o_orderkey
             FROM events e ASOF JOIN (

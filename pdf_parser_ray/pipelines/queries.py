@@ -169,6 +169,47 @@ def q17_sliding_window(sf_dir: str) -> pd.DataFrame:
     return out[["event_type", "day", "day_value", "window_value", "n"]]
 
 
+def q61_range_join(sf_dir: str) -> pd.DataFrame:
+    """Range join: per event, how many of the user's 2-day activity
+    windows (one per active day) contain its timestamp — every event
+    matches its own day's window and possibly the previous day's, so the
+    interval semantics (1..2 matches) are genuinely exercised."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    days = (pd.DataFrame({"user_id": ev["user_id"],
+                          "d": pd.to_datetime(ev["ts"]).dt.floor("D")})
+            .drop_duplicates())
+    win = pd.DataFrame({
+        "o_custkey": days["user_id"],
+        "w_start": days["d"],
+        "w_end": days["d"] + pd.Timedelta(days=2),
+    })
+    ds = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ts"] = df["ts"].astype("datetime64[ns]")
+        return df
+
+    out = R.range_join_count(ds.map_batches(norm, batch_format="pandas"),
+                             win, key="user_id", right_key="o_custkey",
+                             ts="ts", right_start="w_start",
+                             right_end="w_end", id_col="event_id")
+    out["event_id"] = out["event_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q62_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-type value quantiles (p50/p90/p99)."""
+    ds = _read(sf_dir, "events").select_columns(["event_type", "value"])
+    out = R.grouped_quantiles(ds, "event_type", "value",
+                              quantiles=(0.5, 0.9, 0.99))
+    for c in ("q50", "q90", "q99"):
+        out[c] = out[c].round(6)
+    return out
+
+
 def q15_sessionize(sf_dir: str) -> pd.DataFrame:
     """Gap-based sessions (30 min) per user over the events stream."""
     ds = _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"])

@@ -224,3 +224,73 @@ def sliding_window_sum(ds, *, key: str, ts_day_col: str, value_col: str,
                                                             min_periods=1)
                                         .sum()))
     return daily.reset_index(drop=True)
+
+
+def range_join_count(ds, right_df: pd.DataFrame, *, key: str,
+                     right_key: str, ts: str, right_start: str,
+                     right_end: str, id_col: str,
+                     batch_size: int = 8192) -> pd.DataFrame:
+    """Range join (Ray Data has none): count, per left row, the right-side
+    intervals of the same key containing its timestamp
+    (``right_start <= ts < right_end``). Inner semantics — left rows with
+    zero matches are absent.
+
+    The right side (key, start, end) broadcasts once sorted by key; each
+    left batch equi-merges on key then applies the vectorized interval
+    filter — the broadcast-range-join shape. At scale, when the interval
+    table stops being broadcastable, the same semantics run key-bucketed:
+    hash-partition both sides on the key and run this per partition (the
+    co-partitioning assumption every distributed range join rests on)."""
+    import ray
+
+    small = right_df[[right_key, right_start, right_end]].copy()
+    small_ref = ray.put(small)
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(small_ref)
+        m = df[[id_col, key, ts]].merge(
+            r, left_on=key, right_on=right_key, how="inner")
+        hit = m[(m[ts] >= m[right_start]) & (m[ts] < m[right_end])]
+        if hit.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        out = (hit.groupby(id_col, sort=False).size()
+               .reset_index(name="n"))
+        return out
+
+    parts = ds.map_batches(count, batch_format="pandas",
+                           batch_size=batch_size).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64")})
+    # left rows never split across batches → partials are already final
+    return parts.sort_values(id_col).reset_index(drop=True)
+
+
+def grouped_quantiles(ds, key: str, value_col: str,
+                      quantiles=(0.5, 0.9, 0.99), *,
+                      n_parts: int = 64) -> pd.DataFrame:
+    """Exact per-key quantiles (linear interpolation — matches SQL
+    ``quantile_cont``): coarsened-key shuffle co-locates each key's values,
+    the in-partition computation is one vectorized pandas groupby-quantile
+    over every key the partition holds. Exactness requires a full shuffle
+    of the value column by construction; for sketch-grade approximations
+    at 100 TB swap in a mergeable t-digest (same interface)."""
+    qcols = [f"q{int(q * 100)}" for q in quantiles]
+
+    def part(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        g = df.groupby(key, sort=False)[value_col]
+        out = {key: []}
+        vals: dict[str, list] = {c: [] for c in qcols}
+        for k, s in g:
+            out[key].append(k)
+            for q, c in zip(quantiles, qcols):
+                vals[c].append(float(s.quantile(q, interpolation="linear")))
+        return pa.Table.from_pandas(pd.DataFrame({**out, **vals}),
+                                    preserve_index=False)
+
+    res = (add_coarse_part(ds.select_columns([key, value_col]), key, n_parts)
+           .groupby("_kpart").map_groups(part, batch_format="pyarrow")
+           .to_pandas())
+    return res.sort_values(key).reset_index(drop=True)

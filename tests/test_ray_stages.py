@@ -514,3 +514,38 @@ def test_unigram_logprob_quality_signal(ray_session):
     common = out[out["doc_id"] == 0]["logprob_mean"].iloc[0]
     rare = out[out["doc_id"] == 100]["logprob_mean"].iloc[0]
     assert common > rare
+
+
+def test_range_join_and_quantiles(ray_session):
+    """range_join_count: interval containment per key, inner semantics;
+    grouped_quantiles matches numpy per-group percentiles."""
+    import ray.data
+    from pdf_parser_ray.stages.relational import (grouped_quantiles,
+                                                  range_join_count)
+    base = pd.Timestamp("2024-01-01")
+    rows = [{"eid": i, "k": i % 2, "ts": base + pd.Timedelta(hours=i)}
+            for i in range(10)]
+    ds = ray.data.from_items(rows)
+    win = pd.DataFrame({"k": [0, 0, 1],
+                        "s": [base, base + pd.Timedelta(hours=2), base],
+                        "e": [base + pd.Timedelta(hours=4),
+                              base + pd.Timedelta(hours=6),
+                              base + pd.Timedelta(hours=1)]})
+
+    def norm(df):
+        df = df.copy(); df["ts"] = df["ts"].astype("datetime64[ns]"); return df
+
+    out = range_join_count(ds.map_batches(norm, batch_format="pandas"), win,
+                           key="k", right_key="k", ts="ts",
+                           right_start="s", right_end="e", id_col="eid")
+    got = dict(zip(out["eid"], out["n"]))
+    # eid0 (k0, t0): window1 only; eid2 (k0, t2): both windows; eid1 (k1,t1): none
+    assert got[0] == 1 and got[2] == 2 and 1 not in got
+    # quantiles vs numpy
+    vals = ray.data.from_items(
+        [{"g": "a", "v": float(i)} for i in range(101)]
+        + [{"g": "b", "v": float(i * 2)} for i in range(11)])
+    q = grouped_quantiles(vals, "g", "v", quantiles=(0.5, 0.9))
+    qa = q[q["g"] == "a"].iloc[0]
+    assert qa["q50"] == np.percentile(range(101), 50)
+    assert qa["q90"] == np.percentile(range(101), 90)
