@@ -549,3 +549,35 @@ def test_range_join_and_quantiles(ray_session):
     qa = q[q["g"] == "a"].iloc[0]
     assert qa["q50"] == np.percentile(range(101), 50)
     assert qa["q90"] == np.percentile(range(101), 90)
+
+
+def test_first_wins_edge_matrix(ray_session):
+    """Reference tests/test_consistency.py matrix: no-conflict mappings
+    stay untouched; empty and single-filing inputs are identity."""
+    import ray.data
+    from pdf_parser_ray.stages.consistency import (apply_consistent_mappings,
+                                                   first_wins_mappings)
+    # no conflict: different labels with canonicals stay as-is
+    rows = [
+        {"url": "u1", "family_key": "f", "period_end": "2023-01-01",
+         "mappings": [{"label": "Net revenues", "canonical": "Revenue"}]},
+        {"url": "u2", "family_key": "f", "period_end": "2024-01-01",
+         "mappings": [{"label": "Total revenues", "canonical": "Revenue"}]},
+    ]
+    ds = ray.data.from_items(rows)
+    resolved = first_wins_mappings(ds)
+    fixed = {r["url"]: r for r in
+             apply_consistent_mappings(ds, resolved).take_all()}
+    assert fixed["u1"]["mappings"][0]["canonical"] == "Revenue"
+    assert fixed["u2"]["mappings"][0]["canonical"] == "Revenue"
+    # single filing: identity
+    one = ray.data.from_items(rows[:1])
+    r1 = first_wins_mappings(one)
+    assert r1 == {("f", "Net revenues"): "Revenue"}
+    out = apply_consistent_mappings(one, r1).take_all()
+    assert out[0]["mappings"] == rows[0]["mappings"]
+    # empty mappings everywhere: nothing resolved, nothing changed
+    empty = ray.data.from_items(
+        [{"url": "u3", "family_key": "g", "period_end": "2023-01-01",
+          "mappings": []}])
+    assert first_wins_mappings(empty) == {}
