@@ -183,25 +183,32 @@ def asof_join_backward(ds, right_df: pd.DataFrame, *, key: str,
 
 
 def sessionize(ds, *, key: str, ts: str, id_col: str,
-               gap_seconds: int = 1800):
+               gap_seconds: int = 1800, n_parts: int = 64):
     """Gap-based sessionization: a new session starts when the time since
     the key's previous event exceeds ``gap_seconds``. Emits
     (id_col, key, session_seq) with session_seq 1-based per key.
 
-    A grouped stage (all of one key's events co-located), vectorized
-    pandas inside — the custom windowed operator the reference lacks and
-    Ray Data doesn't ship."""
+    The custom windowed operator the reference lacks and Ray Data doesn't
+    ship. Shuffle shape: the key is COARSENED (:func:`add_coarse_part`) so
+    the executor sees ``n_parts`` groups, not one Python ``map_groups``
+    call per user key (~0.25 ms dispatch each — hours at 10^8 users); the
+    in-partition computation is one vectorized pandas sort + per-key
+    grouped diff/cumsum over every key the partition holds."""
     import pyarrow as pa
 
     def assign(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values([ts, id_col], kind="mergesort")
-        gap = df[ts].diff().dt.total_seconds()
+        df = (group.to_pandas()
+              .sort_values([key, ts, id_col], kind="mergesort"))
+        g = df.groupby(key, sort=False)
+        gap = g[ts].diff().dt.total_seconds()
         new_session = gap.isna() | (gap > gap_seconds)
-        df["session_seq"] = new_session.cumsum().astype("int64")
+        df["session_seq"] = (new_session.groupby(df[key], sort=False)
+                             .cumsum().astype("int64"))
         return pa.Table.from_pandas(df[[id_col, key, "session_seq"]],
                                     preserve_index=False)
 
-    return ds.groupby(key).map_groups(assign, batch_format="pyarrow")
+    return (add_coarse_part(ds, key, n_parts)
+            .groupby("_kpart").map_groups(assign, batch_format="pyarrow"))
 
 
 def sliding_window_sum(ds, *, key: str, ts_day_col: str, value_col: str,
