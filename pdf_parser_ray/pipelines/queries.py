@@ -357,11 +357,15 @@ def q20_exact_dedup(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
-def _pair_recall(clusters: pd.DataFrame, id_name: str) -> pd.DataFrame:
+def _pair_recall(clusters, id_name: str) -> pd.DataFrame:
     """SQL-checkable invariant of a near-dup run over the doubled corpus:
     every constructed duplicate pair (i, i+OFFSET) must land in one cluster.
     Robust to extra merges from *natural* near-dups in the corpus (which
-    exact SQL can't model, but this invariant survives)."""
+    exact SQL can't model, but this invariant survives). ``clusters`` is
+    the (id, rep) Dataset the dedup stages return — the thin query-surface
+    ``to_pandas`` the scale architecture allows (output-sized)."""
+    if not isinstance(clusters, pd.DataFrame):
+        clusters = clusters.to_pandas()
     rep = dict(zip(clusters["id"], clusters["rep"]))
     base = sorted(i for i in rep if i < DUP_OFFSET)
     return pd.DataFrame({

@@ -22,10 +22,13 @@ collects):
   numpy/pandas over the whole partition frame.
 * Verification runs inside the partition: MinHash compares full signatures
   (carried as one 8·num_perm-byte payload per row), SimHash compares
-  64-bit hamming distance. The verified pair list — small by LSH design —
-  is the only thing collected; union-find runs over it driver-side. If a
-  pathological corpus makes the pair list large, swap `cluster_pairs` for
-  iterative label propagation over a ``groupby(node)``.
+  64-bit hamming distance. The verified pairs stay a Dataset; clustering
+  is distributed iterative min-label propagation over a coarsened
+  ``groupby(node)`` (:func:`cluster_pairs_dataset`) and the (id, rep)
+  result is itself a Dataset — nothing O(corpus ids) or O(pairs) lands on
+  the driver in the MinHash/SimHash paths (the Jaccard/embedding paths
+  route candidates through :func:`verify_pairs_distributed`, which holds
+  the candidate list — bounded by banding — on the driver).
 * n-gram Jaccard and embedding-cosine verify exact similarity for
   candidate pairs via :func:`verify_pairs_distributed`: candidate ids are
   hash-assigned to verify partitions, each doc's payload (shingle set /
@@ -214,7 +217,9 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def cluster_pairs(pairs: list[tuple], ids: list) -> dict:
-    """Union-find: {id -> cluster representative (min id)}."""
+    """Union-find: {id -> cluster representative (min id)}. Driver-side
+    small-scale twin of :func:`cluster_pairs_dataset` (kept for kernel
+    tests and tiny ad-hoc uses; the dedup stages use the Dataset path)."""
     parent: dict = {}
 
     def find(x):
@@ -283,20 +288,134 @@ def _collect_pairs(pair_ds) -> np.ndarray:
     return np.unique(arr, axis=0)
 
 
-def _ids_of(ds, id_col: str, ids=None) -> list:
-    """All ids (the per-id cluster table is the OUTPUT, so an O(N) id
-    projection is inherent to the result, not a scale smell). Callers that
-    already know the id universe pass ``ids`` to skip a whole extra pass
-    over the (possibly transform-derived) input dataset."""
-    if ids is not None:
-        return list(ids)
-    return ds.select_columns([id_col]).to_pandas()[id_col].tolist()
+def _ids_dataset(ds, id_col: str, ids=None):
+    """Id-universe Dataset (the per-id cluster table is the OUTPUT, so an
+    O(N) id *Dataset* is inherent to the result — what must never exist is
+    an O(N) driver-side list). ``ids`` may be a Dataset (used as-is), a
+    list (wrapped — query-surface convenience at test scale), or None (an
+    id-only projection of the input, which recomputes transform-derived
+    inputs — callers with a cheap id source should pass one)."""
+    import ray.data
+
+    if ids is None:
+        return ds.select_columns([id_col])
+    if hasattr(ids, "select_columns"):
+        return ids.select_columns([id_col])
+    return ray.data.from_arrow(
+        pa.table({id_col: pa.array(list(ids), type=pa.int64())}))
 
 
-def _clusters_frame(pairs: np.ndarray, ids: list) -> pd.DataFrame:
-    rep = cluster_pairs([tuple(p) for p in pairs], ids)
-    return (pd.DataFrame({"id": list(rep), "rep": [rep[i] for i in rep]})
-            .sort_values("id").reset_index(drop=True))
+def _pairs_dataset(pairs: np.ndarray):
+    """Wrap an (n, 2) verified-pair array (already on the driver, bounded
+    by candidate count) as an (a, b) Dataset for label propagation."""
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "a": pa.array(pairs[:, 0], type=pa.int64()),
+        "b": pa.array(pairs[:, 1], type=pa.int64())}))
+
+
+def cluster_pairs_dataset(pair_ds, ids_ds, id_col: str, *,
+                          n_parts: int = 64, max_iters: int = 64):
+    """Distributed connected components over a verified-pair Dataset —
+    the iterative label propagation promised by the module docstring.
+    Returns an ``(id, rep)`` Dataset (rep = min id of the component); no
+    O(corpus-ids) frame is ever constructed on the driver.
+
+    State rows ``(node, val, kind)``: kind 0 = edge (node→val, emitted
+    symmetric so labels flow both ways), kind 1 = node's current label,
+    kind 2 = a label message delivered to node. ONE coarsened
+    ``groupby(node)`` shuffle per round both folds incoming messages
+    (new label = min(node, labels, messages)) and emits the next round's
+    messages along every edge — all vectorized pandas in-partition.
+    Labels only decrease, so the global self-label sum is a convergence
+    certificate: a round with an unchanged sum proves no message lowered
+    any label. Rounds needed = component diameter + 2 (near-dup clusters
+    are stars/cliques of mutated copies — diameter 1-2 in practice).
+    Duplicate pairs (one pair colliding in several bands) are harmless:
+    min-folding is idempotent, so the band output feeds in un-deduped.
+    """
+    from .relational import add_coarse_part
+
+    pair_ds = pair_ds.materialize()
+    has_pairs = pair_ds.count() > 0
+
+    def base(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().cast(pa.int64()) \
+            if isinstance(t[id_col], pa.ChunkedArray) \
+            else t[id_col].cast(pa.int64())
+        return pa.table({"id": ids, "rep": ids})
+
+    base_ds = ids_ds.map_batches(base, batch_format="pyarrow")
+    if not has_pairs:
+        return base_ds
+
+    def to_state(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "node": np.concatenate([a, b]),
+            "val": np.concatenate([b, a]),
+            "kind": np.zeros(2 * len(a), dtype=np.int64)})
+
+    state = pair_ds.map_batches(to_state, batch_format="pandas")
+
+    def step(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        lab_mask = df["kind"].to_numpy() >= 1
+        own = pd.DataFrame({"node": pd.unique(df["node"])})
+        own = own.assign(val=own["node"])
+        m = (pd.concat([df.loc[lab_mask, ["node", "val"]], own],
+                       ignore_index=True)
+             .groupby("node", sort=False)["val"].min().reset_index())
+        edges = df.loc[~lab_mask, ["node", "val"]]
+        msg = edges.merge(m, on="node", suffixes=("_dst", "_lab"))
+        # a message can only lower the receiver's label if label < dst
+        # (label(dst) <= dst always) — filtering here halves msg volume
+        msg = msg[msg["val_lab"].to_numpy() < msg["val_dst"].to_numpy()]
+        out = pd.concat([
+            edges.assign(kind=np.int64(0)),
+            m.assign(kind=np.int64(1)),
+            pd.DataFrame({"node": msg["val_dst"].to_numpy(dtype=np.int64),
+                          "val": msg["val_lab"].to_numpy(dtype=np.int64),
+                          "kind": np.int64(2)}),
+        ], ignore_index=True)
+        return pa.Table.from_pandas(out[["node", "val", "kind"]],
+                                    preserve_index=False)
+
+    def labsum_partial(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t.column("kind"), 1)
+        s = pc.sum(pc.filter(t.column("val"), mask)).as_py()
+        return pa.table({"s": pa.array([s or 0], type=pa.int64())})
+
+    prev = None
+    for _ in range(max_iters):
+        state = (add_coarse_part(state, "node", n_parts)
+                 .groupby("_kpart").map_groups(step, batch_format="pyarrow")
+                 .materialize())
+        cur = state.map_batches(labsum_partial,
+                                batch_format="pyarrow").sum("s")
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds")
+
+    def labels(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t.column("kind"), 1))
+        return pa.table({"id": sub.column("node").cast(pa.int64()),
+                         "rep": sub.column("val").cast(pa.int64())})
+
+    lab_ds = state.map_batches(labels, batch_format="pyarrow")
+
+    def fold(group: pa.Table) -> pa.Table:
+        df = (group.to_pandas().groupby("id", sort=False)["rep"]
+              .min().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (add_coarse_part(base_ds.union(lab_ds), "id", n_parts)
+            .groupby("_kpart").map_groups(fold, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
@@ -505,16 +624,17 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
 
     One pass over text (fused sig+banding) → ``groupby(band_part)`` shuffle
     of the band rows → in-partition vectorized pair emission + signature
-    verification → driver union-find over the verified pair list only.
-    Returns a pandas DataFrame ``(id, rep)`` for every input id."""
+    verification → distributed label propagation over the verified pair
+    Dataset (:func:`cluster_pairs_dataset`; nothing O(corpus) touches the
+    driver). Returns an ``(id, rep)`` Dataset covering every input id."""
     band_ds = minhash_band_dataset(
         ds, text_col, id_col, num_perm=num_perm, bands=bands, k=k,
         n_parts=n_parts, concurrency=concurrency)
     pair_ds = band_ds.groupby("band_part").map_groups(
         _minhash_verify_partition(id_col, num_perm, threshold),
         batch_format="pandas")
-    verified = _collect_pairs(pair_ds)
-    return _clusters_frame(verified, _ids_of(ds, id_col, ids))
+    return cluster_pairs_dataset(pair_ds, _ids_dataset(ds, id_col, ids),
+                                 id_col, n_parts=n_parts)
 
 
 def minhash_candidate_pairs(ds, text_col: str, id_col: str, *,
@@ -549,7 +669,8 @@ def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
     """SimHash banding, banded-shuffle shape: 64-bit sig split into
     ``n_bands`` chunks; rows sharing a chunk meet in a ``band_part``
     partition; full-hamming verification (≤ max_hamming) runs vectorized
-    in-partition. Returns pandas (id, rep)."""
+    in-partition; clustering is distributed label propagation. Returns an
+    ``(id, rep)`` Dataset."""
     width = 64 // n_bands
     mask = np.uint64((1 << width) - 1)
 
@@ -587,10 +708,10 @@ def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
 
     band_ds = ds.select_columns([id_col, text_col]).map_batches(
         band_rows, batch_format="pandas")
-    verified = _collect_pairs(
-        band_ds.groupby("band_part").map_groups(verify,
-                                                batch_format="pandas"))
-    return _clusters_frame(verified, _ids_of(ds, id_col, ids))
+    pair_ds = band_ds.groupby("band_part").map_groups(
+        verify, batch_format="pandas")
+    return cluster_pairs_dataset(pair_ds, _ids_dataset(ds, id_col, ids),
+                                 id_col, n_parts=n_parts)
 
 
 # ---------------------------------------------------------------------------
@@ -607,7 +728,8 @@ def ngram_jaccard_dedup(ds, text_col: str, id_col: str, *, k: int = 3,
     One banding pass generates candidates; exact verification runs through
     :func:`verify_pairs_distributed` — each candidate doc is shingled
     batch-wise in the workers and only the verified pair list returns.
-    Neither texts nor shingle sets are ever collected wholesale."""
+    Neither texts nor shingle sets are ever collected wholesale. Returns
+    an ``(id, rep)`` Dataset (distributed label propagation)."""
     cand = minhash_candidate_pairs(ds, text_col, id_col, num_perm=num_perm,
                                    bands=bands, k=k, n_parts=n_parts)
 
@@ -624,7 +746,9 @@ def ngram_jaccard_dedup(ds, text_col: str, id_col: str, *, k: int = 3,
 
     verified = verify_pairs_distributed(
         ds.select_columns([id_col, text_col]), cand, id_col, payloads, ok)
-    return _clusters_frame(verified, _ids_of(ds, id_col, ids))
+    return cluster_pairs_dataset(_pairs_dataset(verified),
+                                 _ids_dataset(ds, id_col, ids), id_col,
+                                 n_parts=n_parts)
 
 
 # ---------------------------------------------------------------------------
@@ -703,7 +827,7 @@ def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
     Candidate recall is deterministic for exact-direction duplicates and
     probabilistic (documented on :class:`SRPBandRows`) for angular
     near-dups; raise ``bands`` (narrower chunks) for recall, lower it for
-    candidate volume. Returns pandas (id, rep)."""
+    candidate volume. Returns an ``(id, rep)`` Dataset."""
     band_ds = ds.select_columns([id_col, vec_col]).map_batches(
         _srp_band_fn, fn_kwargs={
             "vec_col": vec_col, "id_col": id_col, "n_planes": n_planes,
@@ -749,4 +873,6 @@ def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
 
     verified = verify_pairs_distributed(
         ds.select_columns([id_col, vec_col]), cand, id_col, payloads, ok)
-    return _clusters_frame(verified, _ids_of(ds, id_col, ids))
+    return cluster_pairs_dataset(_pairs_dataset(verified),
+                                 _ids_dataset(ds, id_col, ids), id_col,
+                                 n_parts=n_parts)

@@ -61,7 +61,7 @@ def test_minhash_lsh_dedup_stage(ray_session):
     rows += [{"doc_id": 100 + i, "text": t + " extra"} for i, t in enumerate(texts[:5])]
     ds = ray.data.from_items(rows)
     clusters = minhash_lsh_dedup(ds, "text", "doc_id", threshold=0.7,
-                                 concurrency=(1, 2))
+                                 concurrency=(1, 2)).to_pandas()
     rep = dict(zip(clusters["id"], clusters["rep"]))
     for i in range(5):
         assert rep[i] == rep[100 + i]
@@ -482,21 +482,22 @@ def test_dedup_degenerate_inputs(ray_session):
                                              minhash_lsh_dedup,
                                              simhash_dedup)
     one = ray.data.from_items([{"doc_id": 1, "text": "only doc here"}])
-    c = minhash_lsh_dedup(one, "text", "doc_id")
+    c = minhash_lsh_dedup(one, "text", "doc_id").to_pandas()
     assert c["rep"].tolist() == [1]
     empty_texts = ray.data.from_items(
         [{"doc_id": i, "text": ""} for i in range(4)])
-    c = simhash_dedup(empty_texts, "text", "doc_id")
+    c = simhash_dedup(empty_texts, "text", "doc_id").to_pandas()
     # empty texts share simhash 0 -> all cluster to min id
     assert set(c["rep"]) == {0}
     same = ray.data.from_items(
         [{"doc_id": i, "text": "identical words repeated here four times"}
          for i in range(6)])
-    c = minhash_lsh_dedup(same, "text", "doc_id", threshold=0.9)
+    c = minhash_lsh_dedup(same, "text", "doc_id", threshold=0.9).to_pandas()
     assert set(c["rep"]) == {0}
     vecs = ray.data.from_items(
         [{"vec_id": i, "embedding": [1.0, 0.0, 0.0]} for i in range(3)])
-    c = embedding_dedup(vecs, "embedding", "vec_id", threshold=0.99)
+    c = embedding_dedup(vecs, "embedding", "vec_id",
+                        threshold=0.99).to_pandas()
     assert set(c["rep"]) == {0}
 
 
