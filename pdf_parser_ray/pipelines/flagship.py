@@ -42,22 +42,43 @@ def split_oversized(ds, threshold: int = SKEW_SPLIT_BYTES):
     return normal, big
 
 
-def dedup_by_url(ds):
+def dedup_by_url(ds, *, n_parts: int = 64, apply: str = "broadcast"):
     """Exact dedup on url: keep the newest capture (max warc_ts) per url —
     WITHOUT shuffling payloads.
 
     The naive ``groupby(url)`` moves every html payload through an
-    all-to-all; here only the ``(url, warc_ts)`` projection shuffles. The
-    duplicated-url set is a small fraction of any real corpus (and the
-    decision table is only for those urls), so it broadcasts; each batch
-    then filters locally. If a pathological corpus made the duplicate set
-    huge, the fallback is the payload shuffle on *just the duplicate rows*
-    — still never the whole corpus.
+    all-to-all; here only the ``(url, warc_ts)`` projection shuffles:
+    per-batch (url, max_ts, count) partials reduce through a coarsened
+    ``groupby(url-hash)`` (the `exact_dedup` shuffle shape — the decision
+    never aggregates on the driver), and only the DUPLICATED-url winner
+    table leaves the shuffle. ``apply="broadcast"`` (default) collects
+    that table — bounded by the duplicate-url count, a small fraction of
+    any real crawl, never O(unique urls) — and filters each batch locally.
+    ``apply="shuffle"`` never collects anything: the full rows take one
+    coarsened ``groupby(url-hash)`` payload shuffle and the winner pick
+    runs in-partition — the path for a pathologically duplicate-heavy
+    corpus. Identical output either way (ties at the max warc_ts for one
+    url all survive: the projection cannot distinguish identical captures;
+    content hash would — and exact content dedup downstream catches them
+    anyway).
     """
+    import pandas as pd
     import ray
 
-    # Partial+final combine (vectorized pandas per block, tiny driver-side
-    # finish) — a groupby().map_groups here costs one Python call per url.
+    from ..stages.relational import add_coarse_part
+
+    if apply == "shuffle":
+        def winner(group: pa.Table) -> pa.Table:
+            df = group.to_pandas()
+            ts = df["warc_ts"].astype(str)
+            mask = ts == ts.groupby(df["url"], sort=False).transform("max")
+            return pa.Table.from_pandas(df[mask].drop(columns=["_kpart"]),
+                                        preserve_index=False)
+
+        return (add_coarse_part(ds, "url", n_parts)
+                .groupby("_kpart").map_groups(winner,
+                                              batch_format="pyarrow"))
+
     empty_partial = pa.table({"url": pa.array([], type=pa.string()),
                               "max": pa.array([], type=pa.string()),
                               "count": pa.array([], type=pa.int64())})
@@ -71,23 +92,25 @@ def dedup_by_url(ds):
         out = g.agg(["max", "count"]).reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def combine(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        agg = df.groupby("url", sort=False).agg(
+            ts=("max", "max"), n=("count", "sum")).reset_index()
+        dups = agg[agg["n"] > 1]
+        return pa.table({"url": pa.array(dups["url"], type=pa.string()),
+                         "ts": pa.array(dups["ts"], type=pa.string())})
+
     partials = (ds.select_columns(["url", "warc_ts"])
-                .map_batches(partial, batch_format="pyarrow").to_pandas())
-    if partials.empty or "url" not in partials.columns:
-        return ds
-    agg = partials.groupby("url", sort=False).agg(
-        ts=("max", "max"), n=("count", "sum")).reset_index()
-    dups = agg[agg["n"] > 1]
+                .map_batches(partial, batch_format="pyarrow"))
+    dups = (add_coarse_part(partials, "url", n_parts)
+            .groupby("_kpart").map_groups(combine, batch_format="pyarrow")
+            .to_pandas())
     if dups.empty:
         return ds
-    keep_ts = {u: str(t) for u, t in zip(dups["url"], dups["ts"])}
-    # rows tied at the max warc_ts for one url all survive (the projection
-    # cannot distinguish identical captures; content hash would — and exact
-    # content dedup downstream catches them anyway)
+    keep_ts = dict(zip(dups["url"], dups["ts"]))
     keep_ref = ray.put(keep_ts)
 
     def keep(batch: pa.Table) -> pa.Table:
-        import pandas as pd
         kmap = ray.get(keep_ref)
         urls = pd.Series(batch["url"].to_pylist())
         ts = pd.Series([str(t) for t in batch["warc_ts"].to_pylist()])
@@ -98,18 +121,45 @@ def dedup_by_url(ds):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-def dedup_by_content(corpus_ds):
-    """Exact content dedup over raw PAYLOADS: distinct urls carrying a
-    byte-identical ``html`` payload (mirror copies, re-hosted pages) keep
-    only the min url — the training-data "exact dedup", applied BEFORE
-    extraction so duplicate documents are never parsed at all. (Dedup on
-    *extracted* text could not catch mirrors: the url is deliberately
-    baked into every record's title/front matter.)
+def _payload_fp_batch(batch: pa.Table) -> pa.Table:
+    """(url, ts, fp) projection rows for non-empty payloads — md5 inside
+    the worker; payloads never leave the batch."""
+    import hashlib
 
-    Same shuffle discipline as url-dedup: payload hashing happens inside
-    ``map_batches``; only an ``(url, md5)`` projection leaves the corpus,
-    and the drop decision (bounded by the duplicate count) broadcasts
-    back. Empty payloads are never candidates.
+    urls, tss, fps = [], [], []
+    for url, ts, payload in zip(batch["url"].to_pylist(),
+                                batch["warc_ts"].to_pylist(),
+                                batch["html"].to_pylist()):
+        if payload:
+            urls.append(url)
+            tss.append(str(ts))
+            fps.append(hashlib.md5(payload).hexdigest())
+    return pa.table({"url": pa.array(urls, type=pa.string()),
+                     "ts": pa.array(tss, type=pa.string()),
+                     "fp": pa.array(fps, type=pa.string())})
+
+
+def dedup_by_content(corpus_ds, *, n_parts: int = 64,
+                     apply: str = "broadcast"):
+    """Exact content dedup over raw PAYLOADS: captures carrying a
+    byte-identical ``html`` payload (mirror copies, re-hosted pages) keep
+    only those of the min url — the training-data "exact dedup", applied
+    BEFORE extraction so duplicate documents are never parsed at all.
+    (Dedup on *extracted* text could not catch mirrors: the url is
+    deliberately baked into every record's title/front matter.)
+
+    The decision is PER-CAPTURE (url, warc_ts), not per-url: this stage
+    runs before url-dedup in the default ``dedup="post"`` flow, so one
+    capture whose payload mirrors another url must not drag down sibling
+    captures of its url whose content is unique. Captures of the same url
+    sharing a payload are left alone (url-dedup's territory).
+
+    Shuffle discipline mirrors :func:`dedup_by_url`: md5 hashing happens
+    inside ``map_batches``, the (url, ts, fp) projection reduces through a
+    coarsened ``groupby(fp-hash)``, and only the drop list (bounded by the
+    duplicate-capture count) broadcasts — or, with ``apply="shuffle"``,
+    the full rows take one coarsened ``groupby(fp-hash)`` payload shuffle
+    and nothing reaches the driver.
 
     Resume interaction: on a resumed run the decision pass sees only
     PENDING rows (completed buckets are filtered upstream), so a mirror
@@ -119,34 +169,54 @@ def dedup_by_content(corpus_ds):
     buckets unioned in, the same pattern the consistency aggregates use."""
     import hashlib
 
+    import pandas as pd
     import ray
 
-    def partial(batch: pa.Table) -> pa.Table:
-        urls, fps = [], []
-        for url, payload in zip(batch["url"].to_pylist(),
-                                batch["html"].to_pylist()):
-            if payload:
-                urls.append(url)
-                fps.append(hashlib.md5(payload).hexdigest())
-        return pa.table({"url": pa.array(urls, type=pa.string()),
-                         "fp": pa.array(fps, type=pa.string())})
+    from ..stages.relational import add_coarse_part
 
-    proj = (corpus_ds.select_columns(["url", "html"])
-            .map_batches(partial, batch_format="pyarrow").to_pandas())
-    if proj.empty:
+    if apply == "shuffle":
+        def add_fp(batch: pa.Table) -> pa.Table:
+            fps = [hashlib.md5(p).hexdigest() if p else ""
+                   for p in batch["html"].to_pylist()]
+            return batch.append_column("_fp", pa.array(fps,
+                                                       type=pa.string()))
+
+        def winner(group: pa.Table) -> pa.Table:
+            df = group.to_pandas()
+            fp = df["_fp"]
+            keep_url = df["url"].groupby(fp, sort=False).transform("min")
+            mask = (fp == "") | (df["url"] == keep_url)
+            return pa.Table.from_pandas(
+                df[mask].drop(columns=["_kpart", "_fp"]),
+                preserve_index=False)
+
+        tagged = corpus_ds.map_batches(add_fp, batch_format="pyarrow")
+        return (add_coarse_part(tagged, "_fp", n_parts)
+                .groupby("_kpart").map_groups(winner,
+                                              batch_format="pyarrow"))
+
+    def combine(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        keep_url = df["url"].groupby(df["fp"], sort=False).transform("min")
+        drop = df[df["url"] != keep_url]
+        return pa.table({"url": pa.array(drop["url"], type=pa.string()),
+                         "ts": pa.array(drop["ts"], type=pa.string())})
+
+    proj = (corpus_ds.select_columns(["url", "html", "warc_ts"])
+            .map_batches(_payload_fp_batch, batch_format="pyarrow"))
+    drop = (add_coarse_part(proj, "fp", n_parts)
+            .groupby("_kpart").map_groups(combine, batch_format="pyarrow")
+            .to_pandas())
+    if drop.empty:
         return corpus_ds
-    dup = proj[proj.duplicated("fp", keep=False)]
-    if dup.empty:
-        return corpus_ds
-    keep_urls = set(dup.groupby("fp", sort=False)["url"].min())
-    drop = set(dup["url"]) - keep_urls
-    if not drop:
-        return corpus_ds
-    drop_ref = ray.put(drop)
+    drop_set = set(zip(drop["url"], drop["ts"]))
+    drop_ref = ray.put(drop_set)
 
     def keep(batch: pa.Table) -> pa.Table:
         d = ray.get(drop_ref)
-        mask = pa.array([u not in d for u in batch["url"].to_pylist()])
+        mask = pa.array([(u, str(t)) not in d
+                         for u, t in zip(batch["url"].to_pylist(),
+                                         batch["warc_ts"].to_pylist())])
         return batch.filter(mask)
 
     return corpus_ds.map_batches(keep, batch_format="pyarrow")

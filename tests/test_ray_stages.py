@@ -448,6 +448,56 @@ def test_content_dedup_flag(ray_session, tmp_path):
     assert trio[1] not in survivors and trio[2] not in survivors
 
 
+def test_flagship_dedup_apply_modes(ray_session):
+    """dedup_by_url / dedup_by_content produce identical survivor sets in
+    broadcast mode (dup-only decision collected) and shuffle mode (one
+    coarsened full-row groupby, nothing on the driver); content dedup
+    drops per-CAPTURE, so a url's unique-payload capture survives even
+    when a sibling capture mirrors another url."""
+    import datetime as dt
+
+    import ray.data
+    from pdf_parser_ray.pipelines.flagship import (dedup_by_content,
+                                                   dedup_by_url)
+
+    def ts(h):
+        return dt.datetime(2021, 1, 1, h)
+
+    rows = [
+        {"url": "https://a.example/x", "warc_ts": ts(1), "html": b"AAA"},
+        {"url": "https://a.example/x", "warc_ts": ts(5), "html": b"AAA2"},
+        {"url": "https://b.example/y", "warc_ts": ts(2), "html": b"AAA"},
+        {"url": "https://b.example/y", "warc_ts": ts(3), "html": b"BBB"},
+        {"url": "https://c.example/z", "warc_ts": ts(4), "html": b""},
+    ]
+    t = pa.Table.from_pylist(rows)
+
+    def survivors(out):
+        df = out.to_pandas()
+        return sorted(zip(df["url"], df["warc_ts"].astype(str)))
+
+    u_b = survivors(dedup_by_url(ray.data.from_arrow(t)))
+    u_s = survivors(dedup_by_url(ray.data.from_arrow(t), apply="shuffle"))
+    assert u_b == u_s
+    assert [u for u, _ in u_b] == ["https://a.example/x",
+                                   "https://b.example/y",
+                                   "https://c.example/z"]
+
+    c_b = survivors(dedup_by_content(ray.data.from_arrow(t)))
+    c_s = survivors(dedup_by_content(ray.data.from_arrow(t),
+                                     apply="shuffle"))
+    assert c_b == c_s
+    # b.example's AAA capture mirrors a.example's (min url keeps it) but
+    # its BBB capture is unique content and must survive; empty payloads
+    # are never candidates
+    kept_urls = [u for u, _ in c_b]
+    assert kept_urls.count("https://b.example/y") == 1
+    assert ("https://b.example/y", str(ts(3))) in c_b
+    assert ("https://b.example/y", str(ts(2))) not in c_b
+    assert ("https://c.example/z", str(ts(4))) in c_b
+    assert len(c_b) == 4
+
+
 def test_sketches(ray_session):
     """KMV sketch content is deterministic and its estimate (like HLL's)
     lands within sane error of the exact distinct count."""
