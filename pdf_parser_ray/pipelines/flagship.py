@@ -238,11 +238,12 @@ def run_flagship(corpus_path, facts_path: str | None = None,
     read to skip extracting duplicates, worth it when the dup rate is
     high. False disables.
 
-    ``sequence_mode``: "broadcast" (default) sends the url→sequence map to
-    every task via ``ray.put`` — fastest while the SEC-filing count fits
-    driver memory. "join" ranks distributedly and hash-joins on url
-    (``CONS.sequence_dataset`` + ``apply_sequence_join``) — the 10^12-doc
-    path; identical output.
+    ``sequence_mode``: "broadcast" (default) sends the url→sequence and
+    first-wins mapping tables to every task via ``ray.put`` — fastest
+    while filings × labels fit driver memory. "join" ranks/aggregates
+    both distributedly and hash-joins them back on url / family_key
+    (``CONS.sequence_dataset`` + ``mappings_dataset`` + ``apply_joins``)
+    — the 10^12-doc path; identical output.
 
     Returns the final Dataset when ``out_dir`` is None, else writes the
     partitioned output (resuming past completed buckets) and returns the
@@ -329,12 +330,12 @@ def run_flagship(corpus_path, facts_path: str | None = None,
                 agg_input = extracted.select_columns(
                     ["url", "family_key", "period_end", "doc_kind",
                      "mappings"]).union(written)
-        resolved = CONS.first_wins_mappings(agg_input)
         if sequence_mode == "join":
+            map_ds = CONS.mappings_dataset(agg_input)
             seq_ds = CONS.sequence_dataset(agg_input)
-            extracted = CONS.apply_sequence_join(
-                CONS.apply_all(extracted, resolved, None), seq_ds)
+            extracted = CONS.apply_joins(extracted, map_ds, seq_ds)
         else:
+            resolved = CONS.first_wins_mappings(agg_input)
             seq_map = CONS.compute_sequence(agg_input)
             extracted = CONS.apply_all(extracted, resolved, seq_map)
 

@@ -15,11 +15,14 @@ operations computed *before* the write:
 
 Scale notes: both shuffles move only tiny projections — ``(family_key,
 label, canonical, period_end, url)`` and ``(family_key, url, period_end)``
-— never the extracted text. The mapping fix-ups come back to the full
-dataset as a broadcast dict (families × labels is small even at corpus
-scale because label cardinality is bounded by the taxonomy), applied inside
-``map_batches``. If label cardinality ever explodes, swap the broadcast for
-an equi-join on ``family_key`` — the partitioning key is already right.
+— never the extracted text. The fix-ups come back to the full dataset one
+of two ways, selected by the flagship ``sequence_mode`` flag: broadcast
+dicts (families × labels is small even at corpus scale because label
+cardinality is bounded by the taxonomy), or — the 10^12-doc path — fully
+distributed hash joins (:func:`mappings_dataset` + :func:`sequence_dataset`
+ranked/aggregated in coarsened family-hash partitions, then
+:func:`apply_joins` equi-joins on ``family_key`` and ``url``). Identical
+output either way (the parity tests pin it).
 """
 
 from __future__ import annotations
@@ -163,11 +166,71 @@ def sequence_dataset(extracted_ds, n_parts: int = 64):
     return proj.groupby("fpart").map_groups(rank_part, batch_format="pyarrow")
 
 
-def apply_sequence_join(extracted_ds, seq_ds, num_partitions: int | None = None):
-    """Attach ``filing_sequence`` via a distributed hash join on url
-    (``Dataset.join``) instead of a broadcast map — both sides shuffle by
-    the url key; nothing lands on the driver. Missing urls (web/ifrs/error
-    rows) get sequence 0, matching the broadcast path.
+def mappings_dataset(extracted_ds, n_parts: int = 64):
+    """Distributed first-wins mapping table — the join-ready twin of
+    :func:`first_wins_mappings` for when families × labels outgrows a
+    broadcast dict. One output row per family: ``(family_key,
+    family_map)`` with the family's {label → canonical} backfill table
+    JSON-encoded (Ray's hash join rejects nested columns, and the join
+    only routes the payload anyway).
+
+    Shape: explode → filter non-empty canonical → ``groupby`` on a
+    COARSENED family-hash key → within each partition a vectorized pandas
+    idxmin picks the (min period_end, url) winner per (family, label) for
+    every family the partition holds (families never straddle partitions:
+    equal keys hash equal)."""
+    import json
+
+    from .manifest import url_bucket
+
+    pairs = (extracted_ds
+             .select_columns(["url", "family_key", "period_end", "mappings"])
+             .map_batches(_explode_mappings, batch_format="pyarrow"))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if batch.num_rows == 0 or "canonical" not in batch.schema.names:
+            return pa.table({"family_key": pa.array([], type=pa.string()),
+                             "label": pa.array([], type=pa.string()),
+                             "canonical": pa.array([], type=pa.string()),
+                             "period_end": pa.array([], type=pa.string()),
+                             "url": pa.array([], type=pa.string()),
+                             "fpart": pa.array([], type=pa.int64())})
+        out = batch.filter(pc.not_equal(batch["canonical"], ""))
+        return out.append_column(
+            "fpart", url_bucket(out["family_key"], n_parts).cast(pa.int64()))
+
+    proj = pairs.map_batches(add_part, batch_format="pyarrow")
+
+    def resolve(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        df["order_key"] = df["period_end"] + "\x00" + df["url"]
+        idx = (df.groupby(["family_key", "label"], sort=False)["order_key"]
+               .idxmin())
+        win = df.loc[idx].sort_values(["family_key", "label"],
+                                      kind="mergesort")
+        fams: dict[str, dict] = {}
+        for fam, lab, canon in zip(win["family_key"], win["label"],
+                                   win["canonical"]):
+            fams.setdefault(fam, {})[lab] = canon
+        return pa.table({
+            "family_key": pa.array(list(fams), type=pa.string()),
+            "family_map": pa.array(
+                [json.dumps(m, sort_keys=True).encode()
+                 for m in fams.values()], type=pa.large_binary())})
+
+    return proj.groupby("fpart").map_groups(resolve, batch_format="pyarrow")
+
+
+def apply_joins(extracted_ds, map_ds=None, seq_ds=None,
+                num_partitions: int | None = None):
+    """Distributed twin of :func:`apply_all`: attach the first-wins
+    mapping backfill via a hash join on ``family_key`` (``map_ds`` from
+    :func:`mappings_dataset`) and/or ``filing_sequence`` via a hash join
+    on ``url`` (``seq_ds`` from :func:`sequence_dataset`) — both sides
+    shuffle by the key; nothing lands on the driver. Records without a
+    match keep their mappings untouched / get sequence 0, matching the
+    broadcast path byte for byte.
 
     ``num_partitions`` defaults to half the cluster CPUs (floor 2): the
     hash-join aggregators are actors that each reserve a CPU — asking for
@@ -175,12 +238,14 @@ def apply_sequence_join(extracted_ds, seq_ds, num_partitions: int | None = None)
 
     Ray's hash join rejects nested (list/struct) non-key columns, so the
     record's ``spans``/``mappings`` columns ride through the shuffle as
-    JSON-encoded binary and are restored afterwards — the join only ever
-    routes them, never inspects them."""
+    JSON-encoded binary (encoded once, across both joins) and are restored
+    afterwards — the joins only ever route them, never inspect them."""
     import json
 
     import ray
 
+    if map_ds is None and seq_ds is None:
+        return extracted_ds
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, min(32, cpus // 2))
@@ -200,8 +265,38 @@ def apply_sequence_join(extracted_ds, seq_ds, num_partitions: int | None = None)
 
     left = extracted_ds.map_batches(encode, batch_format="pyarrow") \
         if nested_fields else extracted_ds
-    joined = left.join(seq_ds, join_type="left_outer",
-                       num_partitions=num_partitions, on=("url",))
+
+    if map_ds is not None:
+        left = left.join(map_ds, join_type="left_outer",
+                         num_partitions=num_partitions, on=("family_key",))
+
+        def backfill(batch: pa.Table) -> pa.Table:
+            mi = batch.schema.get_field_index("mappings")
+            new_rows = []
+            changed = False
+            for enc_map, enc_fam in zip(batch["mappings"].to_pylist(),
+                                        batch["family_map"].to_pylist()):
+                mp = json.loads(enc_map)
+                if enc_fam is not None and mp:
+                    table = json.loads(enc_fam)
+                    fixed = []
+                    for m in mp:
+                        canon = m["canonical"] or table.get(m["label"], "")
+                        changed = changed or canon != m["canonical"]
+                        fixed.append({"label": m["label"],
+                                      "canonical": canon})
+                    mp = fixed
+                new_rows.append(json.dumps(mp).encode())
+            batch = batch.set_column(
+                mi, pa.field("mappings", pa.large_binary()),
+                pa.array(new_rows, type=pa.large_binary()))
+            return batch.drop_columns(["family_map"])
+
+        left = left.map_batches(backfill, batch_format="pyarrow")
+
+    if seq_ds is not None:
+        left = left.join(seq_ds, join_type="left_outer",
+                         num_partitions=num_partitions, on=("url",))
 
     def restore(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -210,12 +305,21 @@ def apply_sequence_join(extracted_ds, seq_ds, num_partitions: int | None = None)
             dec = pa.array([json.loads(v) for v in batch[name].to_pylist()],
                            type=typ)
             batch = batch.set_column(idx, pa.field(name, typ), dec)
-        idx = batch.schema.get_field_index("filing_sequence")
-        col = pc.fill_null(pc.cast(batch["filing_sequence"], pa.int64()), 0)
-        return batch.set_column(idx, pa.field("filing_sequence", pa.int64()),
-                                col)
+        if seq_ds is not None:
+            idx = batch.schema.get_field_index("filing_sequence")
+            col = pc.fill_null(pc.cast(batch["filing_sequence"], pa.int64()),
+                               0)
+            batch = batch.set_column(
+                idx, pa.field("filing_sequence", pa.int64()), col)
+        return batch
 
-    return joined.map_batches(restore, batch_format="pyarrow")
+    return left.map_batches(restore, batch_format="pyarrow")
+
+
+def apply_sequence_join(extracted_ds, seq_ds, num_partitions: int | None = None):
+    """Attach ``filing_sequence`` via a distributed hash join on url
+    (kept for the stage API; delegates to :func:`apply_joins`)."""
+    return apply_joins(extracted_ds, None, seq_ds, num_partitions)
 
 
 def apply_all(extracted_ds, resolved: dict | None, seq_map: dict | None):

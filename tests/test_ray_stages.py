@@ -362,18 +362,27 @@ def test_ivf_index_persisted(tmp_path, ray_session):
 
 
 def test_sequence_join_matches_broadcast(corpus_dir, tmp_path, ray_session):
-    """sequence_mode='join' (distributed rank + hash join on url) must
-    produce byte-identical records to the broadcast path."""
+    """sequence_mode='join' (distributed rank + first-wins aggregate,
+    hash-joined back on url / family_key) must produce byte-identical
+    records to the broadcast path — including the backfilled mappings."""
+    import json
+
     from pdf_parser_ray.pipelines.flagship import run_flagship
     cdir, fpath = corpus_dir
     a = run_flagship(cdir, fpath, None, concurrency=(1, 2)).to_pandas()
     b = run_flagship(cdir, fpath, None, concurrency=(1, 2),
                      sequence_mode="join").to_pandas()
-    cols = ["url", "filing_sequence", "status", "extracted_text"]
+    for df in (a, b):
+        df["mappings_json"] = df["mappings"].map(
+            lambda v: json.dumps(list(v), default=str))
+    cols = ["url", "filing_sequence", "status", "extracted_text",
+            "mappings_json"]
     a = a[cols].sort_values("url").reset_index(drop=True)
     b = b[cols].sort_values("url").reset_index(drop=True)
     assert a.equals(b)
     assert (a["filing_sequence"] > 0).any()
+    # the join path must actually have backfilled something
+    assert any("canonical" in m and json.loads(m) for m in b["mappings_json"])
 
 
 def test_qa_report_rendering(ray_session):
