@@ -162,22 +162,35 @@ def winnow_dataset(ds, id_col: str, text_col: str = "text", *,
 
 
 def unigram_logprob(ds, id_col: str, text_col: str = "text",
-                    *, batch_size: int = 1024) -> pd.DataFrame:
+                    *, batch_size: int = 1024, top_k: int | None = None,
+                    n_parts: int = 64) -> pd.DataFrame:
     """Fit-then-score unigram language-model quality scoring.
 
-    Phase 1 (fit): per-batch token-count partials → one tiny global
-    frequency table (pre-aggregate discipline — the shuffle carries one
-    row per (batch × distinct token), never per token occurrence).
-    Phase 2 (score): the log-frequency table broadcasts once (``ray.put``)
-    and each batch scores via vectorized explode → map → groupby-mean.
+    Phase 1 (fit): per-batch token-count partials → coarsened
+    ``groupby(tok-hash)`` distributed combine (all occurrences of a token
+    co-locate, so per-partition sums are global sums and per-partition
+    top-K candidates contain the global top-K). Phase 2 (score): the
+    log-frequency table broadcasts once (``ray.put``) and each batch
+    scores via vectorized explode → map → groupby-mean.
+
+    ``top_k`` is the web-scale knob: with it set, each combine partition
+    emits only its K most frequent tokens (ties broken by token,
+    deterministic) so the driver sees O(n_parts × K) rows — never the
+    ~10^8-token web vocabulary — and out-of-vocabulary tokens score at
+    the OOV floor, ``log(min retained count / total)`` (as rare as the
+    rarest retained token; an upper bound on their true logprob, so only
+    docs containing pruned tokens shift, and only upward). The total
+    token count keeps every token (partition subtotals), pruned or not,
+    so retained probabilities are unchanged by pruning. ``top_k=None``
+    ships the whole vocabulary — the exactly-SQL-replicable mode the q19
+    oracle pins, fine whenever the corpus vocab fits driver memory.
 
     Returns pandas ``(id, logprob_mean)`` per doc with ≥1 token — the
     classic corpus-likelihood quality signal (low = gibberish/outlier).
-    At web scale the vocabulary table is pruned to top-K + an OOV floor
-    before broadcast; the synthetic vocab here is small enough to ship
-    whole, so the score is exactly SQL-replicable.
     """
     import ray
+
+    from .relational import add_coarse_part
 
     def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
         from collections import Counter
@@ -190,10 +203,31 @@ def unigram_logprob(ds, id_col: str, text_col: str = "text",
 
     parts = (ds.select_columns([text_col])
              .map_batches(tok_counts, batch_format="pandas",
-                          batch_size=batch_size).to_pandas())
-    freq = parts.groupby("tok", sort=False)["c"].sum()
-    total = float(freq.sum())
+                          batch_size=batch_size))
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("tok", sort=False)["c"].sum().reset_index()
+        subtotal = int(agg["c"].sum())
+        if top_k is not None and len(agg) > top_k:
+            agg = (agg.sort_values(["c", "tok"], ascending=[False, True],
+                                   kind="mergesort").head(top_k))
+        agg = agg.assign(kind=np.int64(0))
+        tot = pd.DataFrame({"tok": [""], "c": [subtotal],
+                            "kind": [np.int64(1)]})
+        return pd.concat([agg, tot], ignore_index=True)
+
+    vocab = (add_coarse_part(parts, "tok", n_parts)
+             .groupby("_kpart")
+             .map_groups(combine, batch_format="pandas").to_pandas())
+    total = float(vocab.loc[vocab["kind"] == 1, "c"].sum())
+    toks_tab = vocab[vocab["kind"] == 0]
+    if top_k is not None and len(toks_tab) > top_k:
+        toks_tab = (toks_tab.sort_values(["c", "tok"],
+                                         ascending=[False, True],
+                                         kind="mergesort").head(top_k))
+    freq = toks_tab.set_index("tok")["c"]
     logp = np.log(freq / total)
+    oov_lp = float(np.log(freq.min() / total)) if top_k is not None else None
     logp_ref = ray.put(logp.to_dict())
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
@@ -206,6 +240,8 @@ def unigram_logprob(ds, id_col: str, text_col: str = "text",
             return pd.DataFrame({id_col: pd.Series(dtype="int64"),
                                  "logprob_mean": pd.Series(dtype="float64")})
         toks["lp"] = toks["tok"].map(table)
+        if oov_lp is not None:
+            toks["lp"] = toks["lp"].fillna(oov_lp)
         out = (toks.groupby(id_col, sort=False)["lp"].mean()
                .reset_index().rename(columns={"lp": "logprob_mean"}))
         return out

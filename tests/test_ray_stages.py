@@ -576,6 +576,31 @@ def test_unigram_logprob_quality_signal(ray_session):
     assert common > rare
 
 
+def test_unigram_logprob_topk_pruning(ray_session):
+    """top_k pruning (the web-scale vocab cap): docs of retained tokens
+    score identically to the unpruned run; only docs containing pruned
+    (OOV) tokens shift, and only upward (the OOV floor is the rarest
+    retained token's logprob, an upper bound on any pruned token's)."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import unigram_logprob
+    rows = ([{"doc_id": i, "text": "alpha beta gamma delta"}
+             for i in range(8)]
+            + [{"doc_id": 100, "text": "alpha beta zzyzx"},
+               {"doc_id": 101, "text": "alpha beta gamma delta"}])
+    ds = lambda: ray.data.from_items(rows)  # noqa: E731
+    full = unigram_logprob(ds(), "doc_id").set_index("doc_id")
+    # keep only the 4 common tokens; 'zzyzx' (count 1) is pruned to OOV
+    pruned = unigram_logprob(ds(), "doc_id",
+                             top_k=4).set_index("doc_id")
+    assert pruned.loc[101, "logprob_mean"] == full.loc[101, "logprob_mean"]
+    assert pruned.loc[0, "logprob_mean"] == full.loc[0, "logprob_mean"]
+    assert pruned.loc[100, "logprob_mean"] >= full.loc[100, "logprob_mean"]
+    assert pruned.loc[100, "logprob_mean"] != full.loc[100, "logprob_mean"]
+    # huge K == no pruning at all
+    big = unigram_logprob(ds(), "doc_id", top_k=10_000).set_index("doc_id")
+    assert (big["logprob_mean"] == full["logprob_mean"]).all()
+
+
 def test_range_join_and_quantiles(ray_session):
     """range_join_count: interval containment per key, inner semantics;
     grouped_quantiles matches numpy per-group percentiles."""
