@@ -93,13 +93,17 @@ def find_filing_accession(submissions: dict, form: str,
                           report_date: str) -> str | None:
     """Locate the accession of the filing matching (form, reportDate) in a
     submissions-JSON dump (edgar_client.py:116-148 behavior: recent
-    filings arrays, exact form + reportDate match)."""
+    filings arrays, reportDate exact match, form matched after the
+    reference's normalization — ``upper().rstrip("/A")`` — so a "10-K"
+    request also finds the amended "10-K/A" filing; the char-set rstrip
+    quirk is mirrored deliberately for parity)."""
     recent = (submissions.get("filings", {}) or {}).get("recent", {}) or {}
     forms = recent.get("form", []) or []
     dates = recent.get("reportDate", []) or []
     accs = recent.get("accessionNumber", []) or []
+    target = (form or "").upper().rstrip("/A")
     for f, d, a in zip(forms, dates, accs):
-        if f == form and d == report_date:
+        if (f or "").upper().rstrip("/A") == target and d == report_date:
             return a
     return None
 

@@ -267,7 +267,7 @@ def run_flagship(corpus_path, facts_path: str | None = None,
     if out_dir:
         # crashed fragments must go before any re-write or buckets would
         # hold duplicate rows (old + new complete file sets side by side)
-        MAN.clean_incomplete_buckets(out_dir, fingerprint)
+        MAN.clean_incomplete_buckets(out_dir, fingerprint, n_buckets)
         ds = MAN.resume_filter(ds, out_dir, n_buckets, fingerprint)
     if dedup == "pre":
         ds = dedup_by_url(ds)
@@ -317,7 +317,7 @@ def run_flagship(corpus_path, facts_path: str | None = None,
             import os as _os3
 
             import ray.data as _rd
-            done = MAN.completed_buckets(out_dir, fingerprint)
+            done = MAN.completed_buckets(out_dir, fingerprint, n_buckets)
             done_files = []
             for b in sorted(done):
                 bdir = f"{out_dir}/bucket={b}"

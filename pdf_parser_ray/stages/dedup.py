@@ -836,12 +836,18 @@ def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
 
     # In-partition sign-hamming pre-filter: clustered corpora make raw
     # band collisions explode (at sf0.1 the synthetic embeddings give
-    # ~290k collisions for 2k vectors); a pair at cosine ≥ t differs in
-    # ~n_planes·arccos(t)/π sign bits in expectation, so 2× that (floor 3)
-    # keeps true pairs with huge margin while dropping same-cluster noise
-    # before anything leaves the partition.
-    ham_max = max(3, int(np.ceil(2 * n_planes * np.arccos(
-        min(1.0, max(-1.0, threshold))) / np.pi)))
+    # ~290k collisions for 2k vectors). A pair at cosine ≥ t flips each
+    # SRP sign bit independently with p = arccos(t)/π, so its hamming
+    # distance is ≤ Binomial(n_planes, p). Cut at mean + 4σ (floor 3):
+    # the >4σ binomial tail is <~3e-5 per pair, vs the former hard 2×-mean
+    # cut whose tail dropped ~0.2-0.5% of genuinely above-threshold pairs
+    # at t ≤ 0.95 before exact-cosine verification ever saw them
+    # (advisor finding). Exact verify downstream keeps precision exact;
+    # this bound only controls recall.
+    p_flip = np.arccos(min(1.0, max(-1.0, threshold))) / np.pi
+    mu = n_planes * p_flip
+    sigma = np.sqrt(n_planes * p_flip * (1.0 - p_flip))
+    ham_max = max(3, int(np.ceil(mu + 4.0 * sigma)))
 
     def emit(group: pd.DataFrame) -> pd.DataFrame:
         pairs = bucket_pairs(group["band_key"].to_numpy(),

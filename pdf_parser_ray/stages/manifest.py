@@ -28,6 +28,15 @@ import pyarrow.compute as pc
 _POW = np.array([pow(0x100000001B3, i, 1 << 64) for i in range(64)],
                 dtype=np.uint64)
 
+# Version of the url→bucket mapping, stamped into every bucket manifest.
+# Changing url_bucket's hash (r2 moved crc32 → the FNV-poly/splitmix64
+# scheme) remaps rows across buckets; a checkpoint written under another
+# scheme would silently SKIP rows whose new bucket happens to be "done"
+# and re-extract rows into fresh buckets (duplicates). A scheme mismatch
+# therefore invalidates the bucket exactly like an input-fingerprint
+# mismatch. Bump this string whenever url_bucket's arithmetic changes.
+BUCKET_SCHEME = "fnvpoly64-splitmix64-v2"
+
 
 def _mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer (same construction as stages/dedup.py)."""
@@ -95,9 +104,14 @@ def input_fingerprint(corpus_path) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
-def completed_buckets(out_dir: str, fingerprint: str = "") -> set[int]:
+def completed_buckets(out_dir: str, fingerprint: str = "",
+                      n_buckets: int | None = None) -> set[int]:
     """Buckets with a manifest whose input fingerprint matches (empty
-    fingerprint on either side = no check, for non-directory inputs)."""
+    fingerprint on either side = no check, for non-directory inputs) AND
+    whose recorded bucketing scheme/count match the current run — a
+    checkpoint written under a different url→bucket mapping (old hash, or
+    different ``n_buckets``) maps rows to different bucket ids and must
+    reprocess, not resume (silent skip/duplicate otherwise)."""
     done: set[int] = set()
     if not os.path.isdir(out_dir):
         return done
@@ -110,6 +124,11 @@ def completed_buckets(out_dir: str, fingerprint: str = "") -> set[int]:
                 recorded = meta.get("input_fingerprint", "")
                 if fingerprint and recorded and recorded != fingerprint:
                     continue  # input changed → bucket must reprocess
+                if meta.get("bucket_scheme") != BUCKET_SCHEME:
+                    continue  # bucketing hash changed → rows remapped
+                if n_buckets is not None and \
+                        meta.get("n_buckets") != n_buckets:
+                    continue  # bucket count changed → rows remapped
                 done.add(int(name.split("=", 1)[1]))
     return done
 
@@ -117,7 +136,7 @@ def completed_buckets(out_dir: str, fingerprint: str = "") -> set[int]:
 def resume_filter(ds, out_dir: str, n_buckets: int = 64,
                   fingerprint: str = ""):
     """Drop input rows whose output bucket already has a valid manifest."""
-    done = completed_buckets(out_dir, fingerprint)
+    done = completed_buckets(out_dir, fingerprint, n_buckets)
     if not done:
         return ds
     done_list = sorted(done)
@@ -131,16 +150,17 @@ def resume_filter(ds, out_dir: str, n_buckets: int = 64,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-def clean_incomplete_buckets(out_dir: str, fingerprint: str = "") -> None:
+def clean_incomplete_buckets(out_dir: str, fingerprint: str = "",
+                             n_buckets: int | None = None) -> None:
     """Remove bucket dirs without a valid manifest (crashed write, or a
-    changed-input fingerprint). Without this, re-writing a bucket appends a
-    second complete file set next to the crashed run's fragments and the
-    bucket silently holds duplicate rows."""
+    changed-input fingerprint, or a stale bucketing scheme). Without this,
+    re-writing a bucket appends a second complete file set next to the
+    crashed run's fragments and the bucket silently holds duplicate rows."""
     import shutil
 
     if not os.path.isdir(out_dir):
         return
-    done = completed_buckets(out_dir, fingerprint)
+    done = completed_buckets(out_dir, fingerprint, n_buckets)
     for name in os.listdir(out_dir):
         if not name.startswith("bucket="):
             continue
@@ -148,7 +168,8 @@ def clean_incomplete_buckets(out_dir: str, fingerprint: str = "") -> None:
             shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
 
 
-def _stamp_bucket(out_dir: str, name: str, input_fingerprint: str) -> tuple[int, int]:
+def _stamp_bucket(out_dir: str, name: str, input_fingerprint: str,
+                  n_buckets: int) -> tuple[int, int]:
     import pyarrow.parquet as pq
 
     bdir = os.path.join(out_dir, name)
@@ -161,7 +182,9 @@ def _stamp_bucket(out_dir: str, name: str, input_fingerprint: str) -> tuple[int,
     with open(os.path.join(bdir, "_manifest.json"), "w") as fh:
         json.dump({"bucket": int(name.split("=", 1)[1]), "rows": rows,
                    "bytes": bytes_, "files": nfiles,
-                   "input_fingerprint": input_fingerprint}, fh)
+                   "input_fingerprint": input_fingerprint,
+                   "bucket_scheme": BUCKET_SCHEME,
+                   "n_buckets": n_buckets}, fh)
     return rows, 1
 
 
@@ -183,7 +206,7 @@ def write_partitioned(extracted_ds, out_dir: str, n_buckets: int = 64,
     per-bucket completion callbacks.
     """
     ds = add_bucket_column(extracted_ds, n_buckets)
-    pre_done = completed_buckets(out_dir, input_fingerprint)
+    pre_done = completed_buckets(out_dir, input_fingerprint, n_buckets)
 
     # bucket row counts up front: writing an EMPTY dataset with
     # partition_cols drops a stray file at the output root, breaking
@@ -218,7 +241,7 @@ def write_partitioned(extracted_ds, out_dir: str, n_buckets: int = 64,
         for b in wave_buckets:
             name = f"bucket={b}"
             if os.path.isdir(os.path.join(out_dir, name)):
-                _stamp_bucket(out_dir, name, input_fingerprint)
+                _stamp_bucket(out_dir, name, input_fingerprint, n_buckets)
 
     total_rows = 0
     n_done = 0

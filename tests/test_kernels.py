@@ -242,6 +242,14 @@ def test_xbrl_fact_extraction_semantics():
     assert find_filing_accession(subs, "10-Q", "2024-06-29") == "a2"
     assert find_filing_accession(subs, "10-K", "2099-01-01") is None
     assert find_filing_accession({}, "10-K", "2024-09-28") is None
+    # amended-form + case normalization (edgar_client.py:139-143:
+    # upper().rstrip("/A") on both sides)
+    subs_a = {"filings": {"recent": {
+        "form": ["10-K/A", "10-q"],
+        "reportDate": ["2024-09-28", "2024-06-29"],
+        "accessionNumber": ["amend1", "q2"]}}}
+    assert find_filing_accession(subs_a, "10-K", "2024-09-28") == "amend1"
+    assert find_filing_accession(subs_a, "10-Q/A", "2024-06-29") == "q2"
 
 
 def test_batched_tier3_parity():

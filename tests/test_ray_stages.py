@@ -210,6 +210,37 @@ def test_resume_invalidated_by_input_change(tmp_path, ray_session):
     assert s2["rows"] > s1["rows"]
 
 
+def test_resume_invalidated_by_bucket_scheme_change(tmp_path, ray_session):
+    """A checkpoint written under a different url→bucket mapping (older
+    hash scheme, or a different bucket count) must NOT be resumed: rows
+    would be silently skipped/duplicated (advisor finding, manifest.py)."""
+    import json
+
+    from pdf_parser_ray.pipelines.flagship import run_flagship
+    from pdf_parser_ray.sources.corpus import write_corpus
+    from pdf_parser_ray.stages import manifest as MAN
+    cdir, fpath = write_corpus(str(tmp_path / "c"), n_docs=20, seed=3,
+                               shards=2)
+    out_dir = str(tmp_path / "out")
+    run_flagship(cdir, fpath, out_dir=out_dir, n_buckets=4,
+                 concurrency=(1, 2))
+    fp = MAN.input_fingerprint(cdir)
+    assert len(MAN.completed_buckets(out_dir, fp, 4)) > 0
+    # same dir seen by a run with a different bucket count → all invalid
+    assert MAN.completed_buckets(out_dir, fp, 8) == set()
+    # simulate a checkpoint written by the pre-v2 hash (no scheme stamp)
+    for name in os.listdir(out_dir):
+        if not name.startswith("bucket="):
+            continue
+        mpath = os.path.join(out_dir, name, "_manifest.json")
+        with open(mpath) as fh:
+            meta = json.load(fh)
+        meta.pop("bucket_scheme", None)
+        with open(mpath, "w") as fh:
+            json.dump(meta, fh)
+    assert MAN.completed_buckets(out_dir, fp, 4) == set()
+
+
 def test_sessionize_and_asof(ray_session):
     import ray.data
     from pdf_parser_ray.stages.relational import (asof_join_backward,
