@@ -324,21 +324,38 @@ def cluster_pairs_dataset(pair_ds, ids_ds, id_col: str, *,
 
     State rows ``(node, val, kind)``: kind 0 = edge (node→val, emitted
     symmetric so labels flow both ways), kind 1 = node's current label,
-    kind 2 = a label message delivered to node. ONE coarsened
+    kind 2 = a label message delivered to node, kind 3 = a pointer-jump
+    request (node = u's current label, val = u). ONE coarsened
     ``groupby(node)`` shuffle per round both folds incoming messages
     (new label = min(node, labels, messages)) and emits the next round's
     messages along every edge — all vectorized pandas in-partition.
+    The jump requests add path compression: each round u asks its label
+    target for *its* label (reply arrives as a kind-2 message), so chain
+    components converge in O(log diameter) rounds instead of diameter
+    rounds (the synthetic sf0.1 simhash graph has hamming chains of
+    diameter ~12: 14 plain rounds → 6 with jumping). Replies only carry
+    labels of same-component nodes, and a no-change round regenerates the
+    identical deterministic state, so the convergence certificate below
+    is unaffected by the extra message type.
     Labels only decrease, so the global self-label sum is a convergence
     certificate: a round with an unchanged sum proves no message lowered
-    any label. Rounds needed = component diameter + 2 (near-dup clusters
-    are stars/cliques of mutated copies — diameter 1-2 in practice).
+    any label. Rounds needed ~ log(component diameter) + 2 (near-dup
+    clusters are stars/cliques of mutated copies — diameter 1-2 in
+    practice).
     Duplicate pairs (one pair colliding in several bands) are harmless:
     min-folding is idempotent, so the band output feeds in un-deduped.
     """
     from .relational import add_coarse_part
 
     pair_ds = pair_ds.materialize()
-    has_pairs = pair_ds.count() > 0
+    n_pairs = pair_ds.count()
+    has_pairs = n_pairs > 0
+    # Size the per-round shuffle to the edge set: state rows ≈ 4·pairs +
+    # 2·touched-nodes, and a fixed 64-way groupby over a few-KB state is
+    # pure task-dispatch overhead (measured ~1.5 s/round at 7.6k pairs).
+    # ~8k state rows per partition keeps partitions vectorization-friendly
+    # while capping at the caller's n_parts for web-scale edge sets.
+    n_prop_parts = int(max(4, min(n_parts, (n_pairs * 6) // 8000 + 1)))
 
     def base(t: pa.Table) -> pa.Table:
         ids = t[id_col].combine_chunks().cast(pa.int64()) \
@@ -362,23 +379,37 @@ def cluster_pairs_dataset(pair_ds, ids_ds, id_col: str, *,
 
     def step(group: pa.Table) -> pa.Table:
         df = group.to_pandas()
-        lab_mask = df["kind"].to_numpy() >= 1
+        kind = df["kind"].to_numpy()
+        fold_mask = (kind == 1) | (kind == 2)
         own = pd.DataFrame({"node": pd.unique(df["node"])})
         own = own.assign(val=own["node"])
-        m = (pd.concat([df.loc[lab_mask, ["node", "val"]], own],
+        m = (pd.concat([df.loc[fold_mask, ["node", "val"]], own],
                        ignore_index=True)
              .groupby("node", sort=False)["val"].min().reset_index())
-        edges = df.loc[~lab_mask, ["node", "val"]]
+        edges = df.loc[kind == 0, ["node", "val"]]
         msg = edges.merge(m, on="node", suffixes=("_dst", "_lab"))
         # a message can only lower the receiver's label if label < dst
         # (label(dst) <= dst always) — filtering here halves msg volume
         msg = msg[msg["val_lab"].to_numpy() < msg["val_dst"].to_numpy()]
+        # pointer-jump replies: requester u (val) asked target t (node)
+        # for t's label — reply lowers u only if label(t) < u
+        jr = df.loc[kind == 3, ["node", "val"]].merge(
+            m, on="node", suffixes=("_req", "_lab"))
+        jr = jr[jr["val_lab"].to_numpy() < jr["val_req"].to_numpy()]
+        # next round's jump requests: every non-root node asks its label
+        nr = m[m["val"].to_numpy() < m["node"].to_numpy()]
         out = pd.concat([
             edges.assign(kind=np.int64(0)),
             m.assign(kind=np.int64(1)),
             pd.DataFrame({"node": msg["val_dst"].to_numpy(dtype=np.int64),
                           "val": msg["val_lab"].to_numpy(dtype=np.int64),
                           "kind": np.int64(2)}),
+            pd.DataFrame({"node": jr["val_req"].to_numpy(dtype=np.int64),
+                          "val": jr["val_lab"].to_numpy(dtype=np.int64),
+                          "kind": np.int64(2)}),
+            pd.DataFrame({"node": nr["val"].to_numpy(dtype=np.int64),
+                          "val": nr["node"].to_numpy(dtype=np.int64),
+                          "kind": np.int64(3)}),
         ], ignore_index=True)
         return pa.Table.from_pandas(out[["node", "val", "kind"]],
                                     preserve_index=False)
@@ -388,13 +419,31 @@ def cluster_pairs_dataset(pair_ds, ids_ds, id_col: str, *,
         s = pc.sum(pc.filter(t.column("val"), mask)).as_py()
         return pa.table({"s": pa.array([s or 0], type=pa.int64())})
 
+    import os as _os
+    import time as _time
+    debug = bool(_os.environ.get("PDF_PARSER_DEBUG_CC"))
+    # Rounds are chained in blocks of `span` inside ONE lazy plan per
+    # materialize + certificate check: each Ray job carries ~0.5-1 s of
+    # fixed submit/collect latency, which dominated the loop when every
+    # round was its own job pair (measured 14 rounds × ~1.5 s at 7.6k
+    # pairs). Equal block-end label sums still certify convergence —
+    # labels are monotone non-increasing, so an unchanged sum across a
+    # whole block proves no round inside it changed anything; at most
+    # span-1 no-op rounds are wasted at the tail.
+    span = 4
     prev = None
-    for _ in range(max_iters):
-        state = (add_coarse_part(state, "node", n_parts)
-                 .groupby("_kpart").map_groups(step, batch_format="pyarrow")
-                 .materialize())
+    for _block in range(0, max_iters, span):
+        _t0 = _time.monotonic()
+        for _ in range(span):
+            state = (add_coarse_part(state, "node", n_prop_parts)
+                     .groupby("_kpart")
+                     .map_groups(step, batch_format="pyarrow"))
+        state = state.materialize()
         cur = state.map_batches(labsum_partial,
                                 batch_format="pyarrow").sum("s")
+        if debug:
+            print(f"[cc] rounds<={_block + span} parts={n_prop_parts} "
+                  f"labsum={cur} sec={_time.monotonic() - _t0:.2f}")
         if cur == prev:
             break
         prev = cur
