@@ -352,10 +352,13 @@ def cluster_pairs_dataset(pair_ds, ids_ds, id_col: str, *,
     has_pairs = n_pairs > 0
     # Size the per-round shuffle to the edge set: state rows ≈ 4·pairs +
     # 2·touched-nodes, and a fixed 64-way groupby over a few-KB state is
-    # pure task-dispatch overhead (measured ~1.5 s/round at 7.6k pairs).
-    # ~8k state rows per partition keeps partitions vectorization-friendly
-    # while capping at the caller's n_parts for web-scale edge sets.
-    n_prop_parts = int(max(4, min(n_parts, (n_pairs * 6) // 8000 + 1)))
+    # pure task-dispatch overhead (measured ~1.5 s/round at 7.6k pairs,
+    # ~2.5 s/round at 50k pairs with 38 parts — per-partition pandas work
+    # is ~ms, so partitions should be as coarse as worker heap allows).
+    # ~512k state rows (~12 MB) per partition keeps the vectorized
+    # in-partition fold cheap while capping at the caller's n_parts for
+    # web-scale edge sets.
+    n_prop_parts = int(max(4, min(n_parts, (n_pairs * 6) // 512_000 + 1)))
 
     def base(t: pa.Table) -> pa.Table:
         ids = t[id_col].combine_chunks().cast(pa.int64()) \
