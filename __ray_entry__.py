@@ -56,12 +56,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_asof_join": Q.q16_asof_join,
         "q61_range_join": Q.q61_range_join,
         "q62_value_quantiles": Q.q62_value_quantiles,
+        "q63_grouped_topk": Q.q63_grouped_topk,
+        "q64_stratified_sample": Q.q64_stratified_sample,
         # text analysis
         "q10_doc_stats": Q.q10_doc_stats,
         "q11_lang_pred": Q.q11_lang_pred,
         "q12_quality_filter": Q.q12_quality_filter,
         "q13_fingerprint": Q.q13_fingerprint,
         "q14_winnow_fingerprint": Q.q14_winnow_fingerprint,
+        "q25_top_tokens": Q.q25_top_tokens,
+        "q26_inverted_index": Q.q26_inverted_index,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -226,6 +230,32 @@ def oracle_sql() -> dict[str, str]:
               FROM g, UNNEST(generate_series(1,
                      greatest(1, len(hs) - 3))) AS s(j))
             ORDER BY doc_id, fingerprint""",
+        "q25_top_tokens": r"""
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+              FROM documents)
+            GROUP BY tok ORDER BY c DESC, tok LIMIT 50""",
+        "q26_inverted_index": r"""
+            SELECT DISTINCT tok AS token, doc_id FROM (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+              FROM documents)
+            WHERE length(tok) >= 8 ORDER BY token, doc_id""",
+        "q63_grouped_topk": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(o_totalprice, 2) AS o_totalprice, rnk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey) AS rnk
+              FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
+        "q64_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  CASE lang WHEN 'en' THEN '8000'
+                            WHEN 'zh' THEN '4000'
+                            ELSE '2000' END
+            ORDER BY doc_id""",
         "q19_unigram_quality": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -579,3 +579,49 @@ def q51_qa_summary(sf_dir: str) -> pd.DataFrame:
                         "n": [summary[k] for k in sorted(summary)]})
     out["n"] = out["n"].astype("int64")
     return out
+
+
+def q25_top_tokens(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed heavy hitters over documents.text (top 50)."""
+    ds = _read(sf_dir, "documents").select_columns(["text"])
+    out = TS.top_tokens(ds, "text", k=50)
+    return out.reset_index(drop=True)
+
+
+def q26_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Posting-list build: distinct (token, doc_id) for tokens >= 8 chars."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    df = TS.inverted_index(ds, "doc_id", "text",
+                           min_token_len=8).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values(["token", "doc_id"]).reset_index(drop=True)
+
+
+def q63_grouped_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-3 orders per customer by totalprice (bounded per-key output;
+    batch-level pruning before the grouped shuffle)."""
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderkey", "o_totalprice"])
+    df = R.grouped_topk(ds, "o_custkey", "o_totalprice", 3,
+                        tie_break="o_orderkey",
+                        keep=["o_orderkey", "o_totalprice"]).to_pandas()
+    df["o_totalprice"] = df["o_totalprice"].round(2)
+    df["rnk"] = df["rnk"].astype("int64")
+    df["o_custkey"] = df["o_custkey"].astype("int64")
+    df["o_orderkey"] = df["o_orderkey"].astype("int64")
+    return (df[["o_custkey", "o_orderkey", "o_totalprice", "rnk"]]
+            .sort_values(["o_custkey", "rnk"]).reset_index(drop=True))
+
+
+SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
+SAMPLE_DEFAULT = 0.125
+
+
+def q64_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-language stratified sample of documents."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
+    df = R.stratified_sample(ds, "lang", "doc_id", SAMPLE_RATES,
+                             default_rate=SAMPLE_DEFAULT).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return (df[["doc_id", "lang"]].sort_values("doc_id")
+            .reset_index(drop=True))

@@ -151,6 +151,70 @@ def topk(ds, by: str, k: int, *, ascending: bool = False,
             .head(k).reset_index(drop=True))
 
 
+def grouped_topk(ds, key: str, by: str, k: int, *,
+                 tie_break: str, keep: list[str] | None = None,
+                 ascending: bool = False, n_parts: int = 64,
+                 batch_size: int = 8192):
+    """Top-k rows per key (largest ``by``, deterministic ``tie_break``).
+
+    Two-level pruning so the shuffle never moves more than it must:
+    per-BATCH local top-k per key first (a batch can contribute at most k
+    rows per key to the exchange), then the coarsened ``groupby(key-hash)``
+    co-locates each key's candidates and a vectorized in-partition
+    sort + grouped head finishes. Bounded output per key — the grouped
+    twin of :func:`topk`."""
+    cols = [by, tie_break]
+    asc = [ascending, True]
+    out_cols = [key, *(keep if keep is not None else [by, tie_break])]
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, *cols], ascending=[True, *asc],
+                            kind="mergesort")
+        return df.groupby(key, sort=False).head(k)
+
+    pruned = ds.map_batches(local, batch_format="pandas",
+                            batch_size=batch_size)
+
+    def final(group: pa.Table) -> pa.Table:
+        df = (group.to_pandas()
+              .sort_values([key, *cols], ascending=[True, *asc],
+                           kind="mergesort"))
+        df = df.groupby(key, sort=False).head(k)
+        df["rnk"] = df.groupby(key, sort=False).cumcount() + 1
+        return pa.Table.from_pandas(df[[*out_cols, "rnk"]],
+                                    preserve_index=False)
+
+    return (add_coarse_part(pruned, key, n_parts)
+            .groupby("_kpart").map_groups(final, batch_format="pyarrow"))
+
+
+def stratified_sample(ds, group_col: str, id_col: str,
+                      rates: dict[str, float], *,
+                      default_rate: float = 0.0, batch_size: int = 8192):
+    """Deterministic per-stratum sampling: keep a row iff the first 4 hex
+    chars of ``md5(id)`` fall below the stratum's rate threshold — the
+    same content-free stable hash as :func:`..textstats.assign_split`, so
+    the sample is reproducible on any cluster size and any partitioning,
+    with no RNG state and no shuffle (pure per-batch map). ``rates`` maps
+    group value → keep fraction; thresholds round to 4 hex digits
+    (65536ths) so the exact rule is SQL-replicable for the oracle."""
+    import hashlib
+
+    thresholds = {g: format(min(65535, int(round(r * 65536))), "04x")
+                  for g, r in rates.items()}
+    default_thr = format(min(65535, int(round(default_rate * 65536))), "04x")
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.Series(
+            [hashlib.md5(str(v).encode()).hexdigest()[:4]
+             for v in df[id_col]], index=df.index)
+        thr = (df[group_col].map(thresholds).fillna(default_thr))
+        return df[h < thr]
+
+    return ds.map_batches(sample, batch_format="pandas",
+                          batch_size=batch_size)
+
+
 def asof_join_backward(ds, right_df: pd.DataFrame, *, key: str,
                        right_key: str, ts: str, right_ts: str,
                        value_cols: list[str], batch_size: int = 8192):

@@ -253,6 +253,83 @@ def unigram_logprob(ds, id_col: str, text_col: str = "text",
     return scored.sort_values(id_col).reset_index(drop=True)
 
 
+def top_tokens(ds, text_col: str = "text", *, k: int = 50,
+               n_parts: int = 64, batch_size: int = 1024) -> pd.DataFrame:
+    """Exact distributed heavy hitters: the k most frequent whitespace
+    tokens (lowercased), ties broken lexicographically.
+
+    Classic combiner shape: per-batch token-count partials (vectorized
+    explode + value_counts — the shuffle ships one row per *distinct*
+    token per batch, never one per occurrence), coarsened
+    ``groupby(tok-hash)`` combine so every occurrence of a token lands in
+    exactly one partition (per-partition sums are global sums, so each
+    partition's local top-k provably contains every global top-k member
+    it owns), then a driver-side merge of n_parts × k candidate rows —
+    O(k) driver memory at any corpus size."""
+    from .relational import add_coarse_part
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = (df[text_col].fillna("").str.lower().str.split()
+              .explode().dropna().value_counts())
+        return pd.DataFrame({"tok": vc.index.astype("object"),
+                             "c": vc.to_numpy(dtype="int64")})
+
+    parts = (ds.select_columns([text_col])
+             .map_batches(tok_counts, batch_format="pandas",
+                          batch_size=batch_size))
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("tok", sort=False)["c"].sum().reset_index()
+        return (agg.sort_values(["c", "tok"], ascending=[False, True],
+                                kind="mergesort").head(k))
+
+    cand = (add_coarse_part(parts, "tok", n_parts)
+            .groupby("_kpart")
+            .map_groups(combine, batch_format="pandas").to_pandas())
+    out = (cand.sort_values(["c", "tok"], ascending=[False, True],
+                            kind="mergesort").head(k)
+           .reset_index(drop=True))
+    out["c"] = out["c"].astype("int64")
+    return out[["tok", "c"]]
+
+
+def inverted_index(ds, id_col: str, text_col: str = "text", *,
+                   min_token_len: int = 8, n_parts: int = 64,
+                   batch_size: int = 1024):
+    """Posting-list build: distinct (token, id) rows for tokens of at
+    least ``min_token_len`` chars — the exploded shape an index shard
+    shuffles on (hash-partition by token co-locates each posting list).
+
+    Per-batch explode + local dedupe bounds what enters the shuffle;
+    the coarsened ``groupby(tok-hash)`` dedupes globally in-partition.
+    Returns a Dataset of (token, id) — write it partitioned by token
+    hash for a resumable on-disk index."""
+    from .relational import add_coarse_part
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df[[id_col, text_col]]
+                .assign(token=df[text_col].fillna("").str.lower()
+                        .str.split())
+                .explode("token"))
+        toks = toks[toks["token"].notna()]
+        toks = toks[toks["token"].str.len() >= min_token_len]
+        out = toks[["token", id_col]].drop_duplicates()
+        return pd.DataFrame({
+            "token": out["token"].astype("object"),
+            id_col: out[id_col].to_numpy(dtype="int64")})
+
+    parts = (ds.select_columns([id_col, text_col])
+             .map_batches(explode, batch_format="pandas",
+                          batch_size=batch_size))
+
+    def dedupe(group: pd.DataFrame) -> pd.DataFrame:
+        return group[["token", id_col]].drop_duplicates()
+
+    return (add_coarse_part(parts, "token", n_parts)
+            .groupby("_kpart")
+            .map_groups(dedupe, batch_format="pandas"))
+
+
 SPLIT_BOUNDS = (("train", "e666"), ("val", "f333"))  # 90% / 5% / 5%
 
 

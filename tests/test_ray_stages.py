@@ -697,3 +697,50 @@ def test_first_wins_edge_matrix(ray_session):
         [{"url": "u3", "family_key": "g", "period_end": "2023-01-01",
           "mappings": []}])
     assert first_wins_mappings(empty) == {}
+
+
+def test_top_tokens_and_inverted_index(ray_session):
+    """Heavy hitters must match a local count exactly (ties broken
+    lexicographically); inverted index yields distinct sorted postings."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import inverted_index, top_tokens
+    rows = [{"doc_id": 1, "text": "alpha beta beta longtokenone"},
+            {"doc_id": 2, "text": "beta gamma LONGTOKENONE alpha alpha"},
+            {"doc_id": 3, "text": "alpha delta longtokentwo"},
+            {"doc_id": 4, "text": None}]
+    ds = ray.data.from_items(rows)
+    top = top_tokens(ds, "text", k=4)
+    assert list(top["tok"]) == ["alpha", "beta", "longtokenone", "delta"]
+    assert list(top["c"]) == [4, 3, 2, 1]
+    inv = inverted_index(ray.data.from_items(rows), "doc_id", "text",
+                         min_token_len=8).to_pandas()
+    got = sorted(map(tuple, inv[["token", "doc_id"]].to_numpy()))
+    assert got == [("longtokenone", 1), ("longtokenone", 2),
+                   ("longtokentwo", 3)]
+
+
+def test_grouped_topk_and_stratified_sample(ray_session):
+    """grouped_topk: per-key bounded output with deterministic ties;
+    stratified_sample: rate-ordered strata + exact determinism."""
+    import ray.data
+    from pdf_parser_ray.stages.relational import (grouped_topk,
+                                                  stratified_sample)
+    rows = [{"k": g, "id": g * 100 + i, "v": float(i % 5)}
+            for g in (1, 2) for i in range(20)]
+    ds = ray.data.from_items(rows)
+    df = grouped_topk(ds, "k", "v", 3, tie_break="id",
+                      keep=["id", "v"]).to_pandas()
+    assert (df.groupby("k").size() == 3).all()
+    for g in (1, 2):
+        sub = df[df["k"] == g].sort_values("rnk")
+        # v=4.0 rows at ids g*100+{4,9,14} -> smallest ids win ties
+        assert list(sub["id"]) == [g * 100 + 4, g * 100 + 9, g * 100 + 14]
+    big = [{"lang": "en" if i % 2 else "de", "doc_id": i}
+           for i in range(2000)]
+    s = stratified_sample(ray.data.from_items(big), "lang", "doc_id",
+                          {"en": 0.5}, default_rate=0.1).to_pandas()
+    en = (s["lang"] == "en").sum(); de = (s["lang"] == "de").sum()
+    assert 400 < en < 600 and 50 < de < 150  # ~0.5 and ~0.1 of 1000 each
+    s2 = stratified_sample(ray.data.from_items(big), "lang", "doc_id",
+                           {"en": 0.5}, default_rate=0.1).to_pandas()
+    assert sorted(s["doc_id"]) == sorted(s2["doc_id"])  # deterministic
