@@ -744,3 +744,26 @@ def test_grouped_topk_and_stratified_sample(ray_session):
     s2 = stratified_sample(ray.data.from_items(big), "lang", "doc_id",
                            {"en": 0.5}, default_rate=0.1).to_pandas()
     assert sorted(s["doc_id"]) == sorted(s2["doc_id"])  # deterministic
+
+
+def test_cluster_modes_identical(ray_session):
+    """Driver and distributed clustering paths must produce identical
+    (id, rep) tables — including chain components (a-b, b-c, c-d) that
+    exercise multi-round propagation / pointer jumping."""
+    import ray.data
+    from pdf_parser_ray.stages.dedup import cluster_pairs_dataset
+    pairs = [(2, 7), (7, 9), (9, 30), (11, 12), (40, 41), (41, 40)]
+    pair_ds = ray.data.from_items(
+        [{"a": a, "b": b} for a, b in pairs])
+    ids = ray.data.from_items([{"id": i} for i in range(50)])
+    out = {}
+    for mode in ("driver", "distributed"):
+        df = cluster_pairs_dataset(
+            pair_ds, ids, "id", cluster_mode=mode).to_pandas()
+        out[mode] = sorted(map(tuple, df[["id", "rep"]].to_numpy()))
+    assert out["driver"] == out["distributed"]
+    rep = dict(out["driver"])
+    assert rep[2] == rep[7] == rep[9] == rep[30] == 2
+    assert rep[11] == rep[12] == 11 and rep[40] == rep[41] == 40
+    assert rep[0] == 0 and rep[49] == 49
+    assert len(out["driver"]) == 50
