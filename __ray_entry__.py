@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q62_value_quantiles": Q.q62_value_quantiles,
         "q63_grouped_topk": Q.q63_grouped_topk,
         "q64_stratified_sample": Q.q64_stratified_sample,
+        "q65_join_revenue": Q.q65_join_revenue,
+        "q29_active_user_events": Q.q29_active_user_events,
         # text analysis
         "q10_doc_stats": Q.q10_doc_stats,
         "q11_lang_pred": Q.q11_lang_pred,
@@ -66,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_winnow_fingerprint": Q.q14_winnow_fingerprint,
         "q25_top_tokens": Q.q25_top_tokens,
         "q26_inverted_index": Q.q26_inverted_index,
+        "q27_tfidf_topk": Q.q27_tfidf_topk,
+        "q28_bigram_hitters": Q.q28_bigram_hitters,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -230,6 +234,52 @@ def oracle_sql() -> dict[str, str]:
               FROM g, UNNEST(generate_series(1,
                      greatest(1, len(hs) - 3))) AS s(j))
             ORDER BY doc_id, fingerprint""",
+        "q65_join_revenue": """
+            SELECT o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "q29_active_user_events": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events WHERE user_id IN (
+                SELECT user_id FROM events
+                GROUP BY user_id HAVING COUNT(*) >= 30)
+            GROUP BY event_type ORDER BY event_type""",
+        "q27_tfidf_topk": r"""
+            WITH tf AS (
+              SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\S+'))
+                           AS token
+                FROM documents)
+              GROUP BY doc_id, token
+            ), df AS (
+              SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+            ), scored AS (
+              SELECT tf.doc_id, tf.token,
+                     ROUND(tf.tf * ln(
+                         (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+                         / df.df), 6) AS score
+              FROM tf JOIN df ON tf.token = df.token)
+            SELECT doc_id, token, score, rnk FROM (
+              SELECT doc_id, token, score,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, token) AS rnk
+              FROM scored) WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+        "q28_bigram_hitters": r"""
+            WITH t AS (
+              SELECT regexp_extract_all(lower(text), '\S+') AS toks
+              FROM documents
+            ), b AS (
+              SELECT unnest([toks[i] || ' ' || toks[i+1]
+                             for i in generate_series(1, len(toks) - 1)])
+                         AS bigram
+              FROM t WHERE len(toks) >= 2)
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c FROM b
+            GROUP BY bigram ORDER BY c DESC, bigram LIMIT 40""",
         "q25_top_tokens": r"""
             SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
               SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok

@@ -613,6 +613,70 @@ def q63_grouped_topk(sf_dir: str) -> pd.DataFrame:
             .sort_values(["o_custkey", "rnk"]).reset_index(drop=True))
 
 
+def q65_join_revenue(sf_dir: str) -> pd.DataFrame:
+    """Big-to-big shuffle join (lineitem ⋈ orders on orderkey) feeding a
+    partial aggregate: revenue by order priority. Exercises
+    :func:`R.shuffle_join` — one coarsened key shuffle, in-partition
+    merge — where neither side is broadcastable at scale."""
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderpriority"])
+    joined = R.shuffle_join(li, orders, left_on="l_orderkey",
+                            right_on="o_orderkey")
+
+    def add_rev(df: pd.DataFrame) -> pd.DataFrame:
+        df["rev"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        return df[["o_orderpriority", "rev"]]
+
+    out = R.pre_aggregate(
+        joined.map_batches(add_rev, batch_format="pandas"),
+        ["o_orderpriority"],
+        {"revenue": ("rev", "sum"), "n": ("rev", "count")})
+    out["revenue"] = out["revenue"].round(2)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ACTIVE_USER_MIN_EVENTS = 30
+
+
+def q29_active_user_events(sf_dir: str) -> pd.DataFrame:
+    """Semi-join filter by a derived key set: keep events of users with
+    ≥30 events (key set from a pre-aggregate, broadcast once via
+    ``ray.put``), then aggregate value by event type."""
+    ds = _read(sf_dir, "events").select_columns(
+        ["user_id", "event_type", "value"])
+    per_user = R.pre_aggregate(ds, ["user_id"],
+                               {"n": ("event_type", "count")})
+    active = per_user.loc[per_user["n"] >= ACTIVE_USER_MIN_EVENTS,
+                          "user_id"]
+    kept = R.semi_join_broadcast(ds, active, on="user_id")
+    out = R.pre_aggregate(kept, ["event_type"],
+                          {"n": ("value", "count"),
+                           "sum_value": ("value", "sum")})
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q27_tfidf_topk(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-3 tf-idf terms (whitespace tokens, lowercased)."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    df = TS.tfidf_topk(ds, "doc_id", "text", k=3).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["rnk"] = df["rnk"].astype("int64")
+    return (df[["doc_id", "token", "score", "rnk"]]
+            .sort_values(["doc_id", "rnk"]).reset_index(drop=True))
+
+
+def q28_bigram_hitters(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed heavy hitters over token bigrams (top 40)."""
+    ds = _read(sf_dir, "documents").select_columns(["text"])
+    out = TS.top_tokens(ds, "text", k=40, ngram=2)
+    return out.rename(columns={"tok": "bigram"}).reset_index(drop=True)
+
+
 SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
 SAMPLE_DEFAULT = 0.125
 

@@ -75,6 +75,128 @@ def broadcast_join(ds, small_df: pd.DataFrame, *, on: str,
     return ds.map_batches(join, batch_format="pandas", batch_size=batch_size)
 
 
+def semi_join_broadcast(ds, keys, *, on: str, anti: bool = False,
+                        batch_size: int = 8192):
+    """Semi/anti join against a small key set: the keys are ``ray.put``
+    once and each batch filters with a vectorized ``isin`` — no shuffle.
+    ``keys`` is any iterable of key values (a pandas Series, list, or
+    set). ``anti=True`` keeps rows whose key is NOT in the set
+    (blocklist filtering); the default keeps rows whose key IS in it.
+
+    This is the pattern for "filter the 100-TB table by a derived key
+    set": compute the key set with a pre-aggregate (driver-small by
+    contract), broadcast it, and stream the big side through untouched.
+    """
+    import numpy as np
+    import ray
+
+    key_arr = np.asarray(pd.unique(pd.Series(list(keys))))
+    keys_ref = ray.put(key_arr)
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        mask = df[on].isin(ray.get(keys_ref))
+        return df[~mask] if anti else df[mask]
+
+    return ds.map_batches(filt, batch_format="pandas",
+                          batch_size=batch_size)
+
+
+def shuffle_join(left, right, *, left_on: str, right_on: str | None = None,
+                 how: str = "inner", n_parts: int = 64,
+                 batch_size: int = 8192):
+    """Big-to-big distributed hash join — neither side fits on the driver.
+
+    Shape: project + tag each side, align both to one physical schema
+    (other side's payload columns become typed nulls), union the two
+    Datasets, then ONE coarsened ``groupby(key-hash)`` shuffle co-locates
+    every row of a key from both sides; an in-partition pandas merge
+    finishes. This deliberately avoids Ray 2.49's ``Dataset.join``
+    (hash-join aggregators are actors reserving one CPU each —
+    num_partitions > free CPUs deadlocks; nested non-key columns are
+    rejected), and moves each input row across the wire exactly once.
+
+    ``how`` is ``inner`` or ``left``. Payload column names must be
+    disjoint between the two sides (no suffixing — rename upstream).
+    The right key is renamed to ``left_on`` in the output.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type {how}")
+    right_on = right_on or left_on
+
+    def arrow_types(schema) -> dict:
+        # pandas-block datasets report numpy dtypes / Python classes
+        out = {}
+        for n, t in zip(schema.names, schema.types):
+            if not isinstance(t, pa.DataType):
+                try:
+                    t = pa.from_numpy_dtype(t)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    t = pa.string()
+            out[n] = t
+        return out
+
+    lschema = left.schema()
+    rschema = right.schema()
+    lpay = [n for n in lschema.names if n != left_on]
+    rpay = [n for n in rschema.names if n != right_on]
+    overlap = set(lpay) & set(rpay)
+    if overlap:
+        raise ValueError(f"overlapping payload columns: {sorted(overlap)}")
+    ltypes = arrow_types(lschema)
+    rtypes = arrow_types(rschema)
+    key_type = ltypes[left_on]
+    unified = pa.schema(
+        [pa.field(left_on, key_type)]
+        + [pa.field(n, ltypes[n]) for n in lpay]
+        + [pa.field(n, rtypes[n]) for n in rpay]
+        + [pa.field("_side", pa.int8())])
+
+    def align(side: int, key_col: str):
+        def add(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = []
+            for f in unified:
+                if f.name == "_side":
+                    cols.append(pa.array([side] * n, type=pa.int8()))
+                elif f.name == left_on:
+                    cols.append(batch[key_col].cast(f.type))
+                elif f.name in batch.column_names:
+                    cols.append(batch[f.name].cast(f.type))
+                else:
+                    cols.append(pa.nulls(n, type=f.type))
+            return pa.Table.from_arrays(cols, schema=unified)
+        return add
+
+    tagged = (left.map_batches(align(0, left_on), batch_format="pyarrow",
+                               batch_size=batch_size)
+              .union(right.map_batches(align(1, right_on),
+                                       batch_format="pyarrow",
+                                       batch_size=batch_size)))
+
+    out_schema = pa.schema(
+        [pa.field(left_on, key_type)]
+        + [pa.field(n, ltypes[n]) for n in lpay]
+        + [pa.field(n, rtypes[n]) for n in rpay])
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = group["_side"]
+        lt = group.filter(pc.equal(side, 0)).select([left_on, *lpay])
+        rt = group.filter(pc.equal(side, 1)).select([left_on, *rpay])
+        out = lt.to_pandas().merge(rt.to_pandas(), on=left_on, how=how)
+        if not len(out):
+            return out_schema.empty_table()
+        # left joins put NaN in unmatched right payloads; from_pandas=True
+        # maps those to typed nulls instead of failing the int cast
+        cols = [pa.array(out[f.name], type=f.type, from_pandas=True)
+                for f in out_schema]
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    return (add_coarse_part(tagged, left_on, n_parts)
+            .groupby("_kpart").map_groups(merge, batch_format="pyarrow"))
+
+
 def add_coarse_part(ds, key: str, n_parts: int = 64,
                     part_col: str = "_kpart"):
     """Append a COARSENED partition key — hash(key) % n_parts — so a

@@ -253,10 +253,29 @@ def unigram_logprob(ds, id_col: str, text_col: str = "text",
     return scored.sort_values(id_col).reset_index(drop=True)
 
 
-def top_tokens(ds, text_col: str = "text", *, k: int = 50,
+def _ngram_series(text: pd.Series, n: int) -> pd.Series:
+    """Vectorized n-gram explode: lowercase whitespace tokens, joined in
+    sliding windows of ``n`` with single spaces. n=1 is plain tokens; n=2
+    pairs consecutive tokens WITHIN a document (the shift-and-compare
+    trick — no Python loop over rows or tokens)."""
+    toks = text.fillna("").str.lower().str.split().explode().dropna()
+    if n == 1:
+        return toks
+    doc = pd.Series(toks.index.to_numpy())
+    vals = pd.Series(toks.to_numpy(), dtype="object")
+    grams = vals.copy()
+    ok = pd.Series(True, index=vals.index)
+    for i in range(1, n):
+        ok &= doc.shift(-i).eq(doc)
+        grams = grams + " " + vals.shift(-i)
+    return grams[ok]
+
+
+def top_tokens(ds, text_col: str = "text", *, k: int = 50, ngram: int = 1,
                n_parts: int = 64, batch_size: int = 1024) -> pd.DataFrame:
     """Exact distributed heavy hitters: the k most frequent whitespace
-    tokens (lowercased), ties broken lexicographically.
+    tokens (lowercased; ``ngram``-grams of them for ngram>1), ties broken
+    lexicographically.
 
     Classic combiner shape: per-batch token-count partials (vectorized
     explode + value_counts — the shuffle ships one row per *distinct*
@@ -269,8 +288,7 @@ def top_tokens(ds, text_col: str = "text", *, k: int = 50,
     from .relational import add_coarse_part
 
     def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
-        vc = (df[text_col].fillna("").str.lower().str.split()
-              .explode().dropna().value_counts())
+        vc = _ngram_series(df[text_col], ngram).value_counts()
         return pd.DataFrame({"tok": vc.index.astype("object"),
                              "c": vc.to_numpy(dtype="int64")})
 
@@ -291,6 +309,52 @@ def top_tokens(ds, text_col: str = "text", *, k: int = 50,
            .reset_index(drop=True))
     out["c"] = out["c"].astype("int64")
     return out[["tok", "c"]]
+
+
+def tfidf_topk(ds, id_col: str, text_col: str = "text", *, k: int = 3,
+               n_parts: int = 64, batch_size: int = 1024):
+    """Per-document top-k terms by tf-idf (score = tf × ln(N/df), rounded
+    to 6 dp before ranking so the DuckDB oracle ranks identically).
+
+    Two shuffles, no join, no double pass: per-batch (id, token, tf)
+    partials are exact per-doc counts (a document is one row, so one
+    batch holds all of it); ONE coarsened ``groupby(token-hash)`` shuffle
+    co-locates each token's postings, where df is a vectorized
+    ``transform('size')`` attached in place (cheaper than materializing a
+    (token, df) side and joining it back); then :func:`grouped_topk`
+    bounds the per-document output. Driver never sees the posting rows.
+    """
+    from .relational import add_coarse_part, grouped_topk
+
+    n_docs = float(ds.count())
+
+    def tf_counts(df: pd.DataFrame) -> pd.DataFrame:
+        s = (df.set_index(id_col)[text_col].fillna("").str.lower()
+             .str.split().explode().dropna())
+        g = (pd.DataFrame({id_col: s.index.to_numpy(),
+                           "token": s.to_numpy()})
+             .groupby([id_col, "token"], sort=False).size()
+             .reset_index(name="tf"))
+        g["tf"] = g["tf"].astype("int64")
+        return g
+
+    tf = (ds.select_columns([id_col, text_col])
+          .map_batches(tf_counts, batch_format="pandas",
+                       batch_size=batch_size))
+
+    def attach_score(group: pd.DataFrame) -> pd.DataFrame:
+        dfreq = (group.groupby("token", sort=False)["token"]
+                 .transform("size").to_numpy(dtype="float64"))
+        out = group[[id_col, "token", "tf"]].copy()
+        out["score"] = np.round(
+            group["tf"].to_numpy() * np.log(n_docs / dfreq), 6)
+        return out
+
+    scored = (add_coarse_part(tf, "token", n_parts)
+              .groupby("_kpart")
+              .map_groups(attach_score, batch_format="pandas"))
+    return grouped_topk(scored, id_col, "score", k, tie_break="token",
+                        keep=["token", "score"], n_parts=n_parts)
 
 
 def inverted_index(ds, id_col: str, text_col: str = "text", *,

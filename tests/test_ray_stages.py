@@ -767,3 +767,64 @@ def test_cluster_modes_identical(ray_session):
     assert rep[11] == rep[12] == 11 and rep[40] == rep[41] == 40
     assert rep[0] == 0 and rep[49] == 49
     assert len(out["driver"]) == 50
+
+
+def test_shuffle_join_matches_pandas(ray_session):
+    """Big-to-big shuffle join must equal a pandas merge — inner and
+    left (typed-null right payloads) — and reject payload collisions."""
+    import ray.data
+    from pdf_parser_ray.stages.relational import shuffle_join
+    left = pd.DataFrame({"k": [1, 1, 2, 3, 5], "lv": list("abcde")})
+    right = pd.DataFrame({"rk": [1, 2, 2, 4], "rv": [10, 20, 21, 40]})
+    for how, exp_rows in (("inner", 4), ("left", 6)):
+        got = (shuffle_join(ray.data.from_pandas(left),
+                            ray.data.from_pandas(right),
+                            left_on="k", right_on="rk", how=how,
+                            n_parts=4)
+               .to_pandas().sort_values(["k", "lv", "rv"])
+               .reset_index(drop=True))
+        exp = (left.merge(right.rename(columns={"rk": "k"}), on="k",
+                          how=how)
+               .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+        assert len(got) == exp_rows
+        assert list(got["k"]) == list(exp["k"])
+        assert list(got["lv"]) == list(exp["lv"])
+        assert got["rv"].fillna(-1).astype("int64").tolist() == \
+            exp["rv"].fillna(-1).astype("int64").tolist()
+    with pytest.raises(ValueError, match="overlapping"):
+        shuffle_join(ray.data.from_pandas(left),
+                     ray.data.from_pandas(left.rename(columns={"k": "j"})),
+                     left_on="k", right_on="j")
+
+
+def test_semi_join_broadcast(ray_session):
+    """Semi keeps only listed keys; anti keeps the complement."""
+    import ray.data
+    from pdf_parser_ray.stages.relational import semi_join_broadcast
+    ds = ray.data.from_items([{"u": i % 5, "x": i} for i in range(50)])
+    semi = semi_join_broadcast(ds, [1, 3], on="u").to_pandas()
+    assert set(semi["u"]) == {1, 3} and len(semi) == 20
+    anti = semi_join_broadcast(ds, [1, 3], on="u", anti=True).to_pandas()
+    assert set(anti["u"]) == {0, 2, 4} and len(anti) == 30
+
+
+def test_tfidf_and_bigrams(ray_session):
+    """tf-idf top-k matches a hand computation; bigram hitters count
+    within-document consecutive pairs only (no cross-doc bigrams)."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import tfidf_topk, top_tokens
+    rows = [{"doc_id": 1, "text": "apple apple banana"},
+            {"doc_id": 2, "text": "banana cherry"},
+            {"doc_id": 3, "text": "cherry cherry cherry apple"}]
+    df = tfidf_topk(ray.data.from_items(rows), "doc_id", "text",
+                    k=1, n_parts=4).to_pandas()
+    top = df[df["rnk"] == 1].set_index("doc_id")["token"].to_dict()
+    # doc1: apple tf=2 df=2 beats banana tf=1 df=2; doc3: cherry tf=3 df=2
+    assert top == {1: "apple", 2: "banana", 3: "cherry"}
+    exp = np.round(2 * np.log(3 / 2), 6)
+    assert abs(float(df.set_index("doc_id")["score"][1]) - exp) < 1e-9
+    bi = top_tokens(ray.data.from_items(rows), "text", k=3, ngram=2,
+                    n_parts=4)
+    got = dict(zip(bi["tok"], bi["c"]))
+    assert got == {"cherry cherry": 2, "apple apple": 1,
+                   "apple banana": 1}
