@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q26_inverted_index": Q.q26_inverted_index,
         "q27_tfidf_topk": Q.q27_tfidf_topk,
         "q28_bigram_hitters": Q.q28_bigram_hitters,
+        "q32_repetition_stats": Q.q32_repetition_stats,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -269,6 +270,36 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY doc_id
                                         ORDER BY score DESC, token) AS rnk
               FROM scored) WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+        "q32_repetition_stats": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+              FROM documents
+            ), u AS (
+              SELECT doc_id, unnest(toks) AS tok FROM t
+            ), uc AS (
+              SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY doc_id, tok
+            ), us AS (
+              SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd, MAX(c) AS mx
+              FROM uc GROUP BY doc_id
+            ), b AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+              FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS s(i)
+              WHERE len(toks) >= 2
+            ), bc AS (
+              SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY doc_id, g
+            ), bs AS (
+              SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot
+              FROM bc GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(COALESCE(us.n, 0) AS BIGINT) AS n_tokens,
+                   ROUND(COALESCE(us.nd * 1.0 / us.n, 0), 6)
+                       AS distinct_frac,
+                   ROUND(COALESCE(us.mx * 1.0 / us.n, 0), 6)
+                       AS top_unigram_frac,
+                   ROUND(COALESCE(bs.mx * 1.0 / bs.tot, 0), 6)
+                       AS top_bigram_frac
+            FROM t LEFT JOIN us USING (doc_id) LEFT JOIN bs USING (doc_id)
+            ORDER BY t.doc_id""",
         "q28_bigram_hitters": r"""
             WITH t AS (
               SELECT regexp_extract_all(lower(text), '\S+') AS toks

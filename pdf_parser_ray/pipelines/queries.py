@@ -677,6 +677,14 @@ def q28_bigram_hitters(sf_dir: str) -> pd.DataFrame:
     return out.rename(columns={"tok": "bigram"}).reset_index(drop=True)
 
 
+def q32_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style per-document repetition / diversity signals."""
+    ds = _read(sf_dir, "documents")
+    df = TS.repetition_stats(ds, "doc_id", "text").to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
 SAMPLE_DEFAULT = 0.125
 

@@ -414,3 +414,56 @@ def assign_split(ds, id_col: str, *, batch_size: int = 4096):
 
     return ds.select_columns([id_col]).map_batches(
         split, batch_format="pandas", batch_size=batch_size)
+
+
+def repetition_stats(ds, id_col: str, text_col: str = "text", *,
+                     batch_size: int = 1024):
+    """Per-document repetition / diversity signals in the style of the
+    Gopher quality heuristics (Rae et al. 2021, "Scaling Language
+    Models"): token count, distinct-token fraction, and the mass
+    fraction of the most frequent unigram and bigram. Highly repetitive
+    machine-generated pages score low distinct_frac / high top-*-frac
+    and are filtered by a vectorized threshold downstream.
+
+    Pure per-batch map — a document is one row, so every signal is
+    exact with no shuffle. All group math is pandas groupby kernels
+    over the exploded (doc, token) frame; no Python loop over rows or
+    tokens. Empty docs get zero fractions; single-token docs get
+    top_bigram_frac = 0.
+    """
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        s = (df.set_index(id_col)[text_col].fillna("").str.lower()
+             .str.split().explode().dropna())
+        d = pd.DataFrame({"d": s.index.to_numpy(),
+                          "t": s.to_numpy(dtype=object)})
+        g = d.groupby("d", sort=False)["t"]
+        n_tok = g.size()
+        n_distinct = g.nunique()
+        uni_max = (d.groupby(["d", "t"], sort=False).size()
+                   .groupby(level=0).max())
+        doc = d["d"]
+        ok = doc.shift(-1).eq(doc)
+        bg = pd.DataFrame({"d": doc[ok],
+                           "g": d["t"][ok] + " " + d["t"].shift(-1)[ok]})
+        if len(bg):
+            bgc = bg.groupby(["d", "g"], sort=False).size()
+            b_frac = (bgc.groupby(level=0).max()
+                      / bgc.groupby(level=0).sum())
+        else:
+            b_frac = pd.Series(dtype="float64")
+
+        ids = pd.Index(df[id_col])
+        out = pd.DataFrame({id_col: df[id_col].to_numpy()})
+        n = n_tok.reindex(ids).fillna(0).to_numpy(dtype="float64")
+        safe = np.where(n > 0, n, 1.0)
+        out["n_tokens"] = n.astype("int64")
+        out["distinct_frac"] = np.round(
+            n_distinct.reindex(ids).fillna(0).to_numpy() / safe, 6)
+        out["top_unigram_frac"] = np.round(
+            uni_max.reindex(ids).fillna(0).to_numpy() / safe, 6)
+        out["top_bigram_frac"] = np.round(
+            b_frac.reindex(ids).fillna(0.0).to_numpy(dtype="float64"), 6)
+        return out
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pandas", batch_size=batch_size)

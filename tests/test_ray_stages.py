@@ -828,3 +828,23 @@ def test_tfidf_and_bigrams(ray_session):
     got = dict(zip(bi["tok"], bi["c"]))
     assert got == {"cherry cherry": 2, "apple apple": 1,
                    "apple banana": 1}
+
+
+def test_repetition_stats(ray_session):
+    """Gopher-style repetition signals: hand-checked fractions, empty
+    and single-token edge cases."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import repetition_stats
+    rows = [{"doc_id": 1, "text": "a a a b"},          # 4 tok, 2 distinct
+            {"doc_id": 2, "text": "x y x y x y"},      # bigram "x y" x3 of 5
+            {"doc_id": 3, "text": ""},                 # empty
+            {"doc_id": 4, "text": "solo"}]             # 1 token, no bigrams
+    df = (repetition_stats(ray.data.from_items(rows), "doc_id")
+          .to_pandas().set_index("doc_id"))
+    assert df.loc[1, "n_tokens"] == 4
+    assert abs(df.loc[1, "distinct_frac"] - 0.5) < 1e-9
+    assert abs(df.loc[1, "top_unigram_frac"] - 0.75) < 1e-9
+    assert abs(df.loc[1, "top_bigram_frac"] - 2 / 3) < 1e-6  # "a a" 2 of 3
+    assert abs(df.loc[2, "top_bigram_frac"] - 0.6) < 1e-9
+    assert df.loc[3, "n_tokens"] == 0 and df.loc[3, "distinct_frac"] == 0
+    assert df.loc[4, "n_tokens"] == 1 and df.loc[4, "top_bigram_frac"] == 0
