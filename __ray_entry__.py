@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q27_tfidf_topk": Q.q27_tfidf_topk,
         "q28_bigram_hitters": Q.q28_bigram_hitters,
         "q32_repetition_stats": Q.q32_repetition_stats,
+        "q33_chunk_documents": Q.q33_chunk_documents,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -270,6 +271,18 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY doc_id
                                         ORDER BY score DESC, token) AS rnk
               FROM scored) WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+        "q33_chunk_documents": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+              FROM documents)
+            SELECT doc_id,
+                   CAST((s.j - 1) / 16 AS BIGINT) AS chunk_id,
+                   CAST(least(s.j + 31, len(toks)) - s.j + 1 AS BIGINT)
+                       AS n_tokens,
+                   array_to_string(toks[s.j:least(s.j + 31, len(toks))],
+                                   ' ') AS chunk_text
+            FROM t, UNNEST(generate_series(1, len(toks), 16)) AS s(j)
+            ORDER BY doc_id, chunk_id""",
         "q32_repetition_stats": r"""
             WITH t AS (
               SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks

@@ -685,6 +685,16 @@ def q32_repetition_stats(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q33_chunk_documents(sf_dir: str) -> pd.DataFrame:
+    """Token-window training chunks (window=32, stride=16)."""
+    ds = _read(sf_dir, "documents")
+    df = TS.chunk_documents(ds, "doc_id", "text",
+                            window=32, stride=16).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return (df.sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True))
+
+
 SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
 SAMPLE_DEFAULT = 0.125
 

@@ -467,3 +467,46 @@ def repetition_stats(ds, id_col: str, text_col: str = "text", *,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         stats, batch_format="pandas", batch_size=batch_size)
+
+
+def chunk_documents(ds, id_col: str, text_col: str = "text", *,
+                    window: int = 64, stride: int = 32,
+                    batch_size: int = 512):
+    """Split documents into fixed token-budget training chunks: windows
+    of ``window`` whitespace tokens starting every ``stride`` tokens
+    (stride < window = overlapping context, the usual LM packing shape).
+    Chunk starts run while start < n_tokens, so trailing chunks may be
+    short; empty docs yield no chunks.
+
+    Pure per-batch map that only EXPANDS rows — no shuffle, no state, so
+    it streams at any corpus size and composes with assign_split /
+    dedup upstream. Output rows: (id, chunk_id, n_tokens, chunk_text).
+    The per-doc slice loop is O(output chars) — the unavoidable cost of
+    materializing chunk text — with all token splitting vectorized.
+    """
+    if stride < 1 or window < 1:
+        raise ValueError("window and stride must be >= 1")
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        toks_col = df[text_col].fillna("").str.split()
+        ids_out: list = []
+        chunk_ids: list[int] = []
+        n_out: list[int] = []
+        texts: list[str] = []
+        for doc_id, toks in zip(df[id_col], toks_col):
+            n = len(toks)
+            for ci, start in enumerate(range(0, n, stride)):
+                piece = toks[start:start + window]
+                ids_out.append(doc_id)
+                chunk_ids.append(ci)
+                n_out.append(len(piece))
+                texts.append(" ".join(piece))
+        return pd.DataFrame({
+            id_col: pd.Series(ids_out),
+            "chunk_id": pd.Series(chunk_ids, dtype="int64"),
+            "n_tokens": pd.Series(n_out, dtype="int64"),
+            "chunk_text": pd.Series(texts, dtype="object"),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        chunk, batch_format="pandas", batch_size=batch_size)

@@ -848,3 +848,26 @@ def test_repetition_stats(ray_session):
     assert abs(df.loc[2, "top_bigram_frac"] - 0.6) < 1e-9
     assert df.loc[3, "n_tokens"] == 0 and df.loc[3, "distinct_frac"] == 0
     assert df.loc[4, "n_tokens"] == 1 and df.loc[4, "top_bigram_frac"] == 0
+
+
+def test_chunk_documents(ray_session):
+    """Token-window chunking: overlap, short tails, empty docs."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import chunk_documents
+    rows = [{"doc_id": 1, "text": "t0 t1 t2 t3 t4 t5 t6"},  # 7 tokens
+            {"doc_id": 2, "text": ""},                       # no chunks
+            {"doc_id": 3, "text": "only two"}]
+    df = (chunk_documents(ray.data.from_items(rows), "doc_id",
+                          window=4, stride=2)
+          .to_pandas().sort_values(["doc_id", "chunk_id"])
+          .reset_index(drop=True))
+    d1 = df[df.doc_id == 1]
+    # starts at 0,2,4,6 -> 4 chunks; last two are short tails
+    assert list(d1.chunk_id) == [0, 1, 2, 3]
+    assert list(d1.n_tokens) == [4, 4, 3, 1]
+    assert d1.iloc[0].chunk_text == "t0 t1 t2 t3"
+    assert d1.iloc[1].chunk_text == "t2 t3 t4 t5"
+    assert d1.iloc[3].chunk_text == "t6"
+    assert (df.doc_id == 2).sum() == 0          # empty doc yields nothing
+    d3 = df[df.doc_id == 3]
+    assert len(d3) == 1 and d3.iloc[0].chunk_text == "only two"
