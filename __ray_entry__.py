@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q28_bigram_hitters": Q.q28_bigram_hitters,
         "q32_repetition_stats": Q.q32_repetition_stats,
         "q33_chunk_documents": Q.q33_chunk_documents,
+        "q34_value_histogram": Q.q34_value_histogram,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -174,6 +175,19 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = w.user_id
              AND e.ts >= w.d AND e.ts < w.d + INTERVAL 2 DAY
             GROUP BY e.event_id ORDER BY e.event_id""",
+        "q34_value_histogram": """
+            WITH mm AS (
+              SELECT event_type, min(value) AS lo, max(value) AS hi
+              FROM events WHERE value IS NOT NULL GROUP BY 1)
+            SELECT e.event_type,
+                   CAST(CASE WHEN mm.hi = mm.lo THEN 0
+                        ELSE least(floor((e.value - mm.lo)
+                                         / ((mm.hi - mm.lo) / 64.0)), 63)
+                        END AS BIGINT) AS bin_id,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events e JOIN mm USING (event_type)
+            WHERE e.value IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "q62_value_quantiles": """
             SELECT event_type,
                    ROUND(quantile_cont(value, 0.5), 6) AS q50,

@@ -695,6 +695,17 @@ def q33_chunk_documents(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q34_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Mergeable per-type equi-width value histogram — the sketch-grade
+    swap for q62's exact quantiles. The bin counts are deterministic
+    integers, so the sketch content is hash-oracle-checkable even though
+    quantile estimates derived from it are approximate."""
+    from ..stages.sketch import grouped_histogram
+    ds = _read(sf_dir, "events").select_columns(["event_type", "value"])
+    out = grouped_histogram(ds, "event_type", "value", nbins=64)
+    return out.sort_values(["event_type", "bin_id"]).reset_index(drop=True)
+
+
 SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
 SAMPLE_DEFAULT = 0.125
 

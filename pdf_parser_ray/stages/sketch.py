@@ -1,6 +1,7 @@
-"""Mergeable sketches over Dataset columns — approximate distinct-count
-machinery a 100 TB pipeline needs where exact ``COUNT(DISTINCT)`` would be
-an all-to-all shuffle.
+"""Mergeable sketches over Dataset columns — the approximate
+distinct-count and quantile machinery a 100 TB pipeline needs where the
+exact answer (``COUNT(DISTINCT)``, per-key ``quantile_cont``) would be an
+all-to-all shuffle of the raw column.
 
 Both sketches follow the pre-aggregate discipline: each batch reduces to a
 tiny partial (k hashes / a register array) inside ``map_batches``, partials
@@ -79,6 +80,114 @@ def hll_sketch(ds, col: str, *, p: int = 12) -> np.ndarray:
     for blob in parts["reg"]:
         merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
     return merged
+
+
+def grouped_histogram(ds, key: str, value_col: str, *,
+                      nbins: int = 64) -> pd.DataFrame:
+    """Mergeable per-key equi-width histogram — the sketch-grade swap for
+    exact grouped quantiles (``relational.grouped_quantiles`` / q62)
+    documented there: instead of shuffling every raw value to its key's
+    partition, each batch reduces to at most ``keys × nbins`` counter rows
+    and only those partials ever move.
+
+    Two passes over the column, zero shuffles:
+      1. per-batch (key, lo, hi) partials → driver min/max merge
+         (O(keys) rows — the bounds table is broadcast back via task
+         closure; at extreme key cardinality ship it with ``ray.put``),
+      2. per-batch vectorized binning → (key, bin_id, n) partials →
+         driver sum (each partial ≤ keys × nbins rows regardless of
+         batch size).
+
+    Bin arithmetic is plain IEEE float64 — ``width = (hi - lo) / nbins``,
+    ``bin = floor((v - lo) / width)`` clamped to ``nbins - 1`` — so the
+    histogram CONTENT is bit-exactly replicable in SQL (the q34 oracle),
+    like the KMV sketch above. A key whose values are all equal
+    (``hi == lo``) lands entirely in bin 0. NULL values are dropped.
+
+    Returns a pandas frame (key, bin_id int64, n int64) sorted by
+    (key, bin_id); feed it to :func:`histogram_quantiles` for estimates.
+    """
+    proj = ds.select_columns([key, value_col])
+
+    def bounds_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[value_col])
+        g = d.groupby(key, sort=False)[value_col].agg(["min", "max"])
+        return g.reset_index().rename(columns={"min": "lo", "max": "hi"})
+
+    parts = proj.map_batches(bounds_partial,
+                             batch_format="pandas").to_pandas()
+    bounds = (parts.groupby(key, sort=False)
+              .agg(lo=("lo", "min"), hi=("hi", "max")))
+    lo_map = bounds["lo"].to_dict()
+    hi_map = bounds["hi"].to_dict()
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[value_col])
+        if not len(d):
+            return pd.DataFrame({key: pd.Series([], dtype=df[key].dtype),
+                                 "bin_id": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        lo = d[key].map(lo_map).to_numpy(dtype=np.float64)
+        hi = d[key].map(hi_map).to_numpy(dtype=np.float64)
+        v = d[value_col].to_numpy(dtype=np.float64)
+        width = (hi - lo) / float(nbins)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = np.floor((v - lo) / width)
+        raw = np.where(width > 0, raw, 0.0)
+        bins = np.minimum(raw, nbins - 1).astype(np.int64)
+        g = (pd.DataFrame({key: d[key].to_numpy(), "bin_id": bins})
+             .groupby([key, "bin_id"], sort=False).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    partials = proj.map_batches(hist_partial,
+                                batch_format="pandas").to_pandas()
+    out = (partials.groupby([key, "bin_id"], sort=False)["n"].sum()
+           .astype("int64").reset_index()
+           .sort_values([key, "bin_id"]).reset_index(drop=True))
+    return out
+
+
+def histogram_quantiles(hist: pd.DataFrame, key: str,
+                        quantiles=(0.5, 0.9, 0.99), *,
+                        bounds: pd.DataFrame | None = None,
+                        nbins: int = 64) -> pd.DataFrame:
+    """Quantile estimates from a :func:`grouped_histogram` sketch by
+    linear interpolation inside the containing bin — error bounded by one
+    bin width of that key's value range. ``bounds`` is the (key, lo, hi)
+    frame; if omitted it cannot be recovered from the sketch and a
+    unit-range [0, 1) is assumed (useful only in tests).
+
+    Per-key work is O(nbins); the sketch is already tiny, so this runs
+    on the driver.
+    """
+    rows = []
+    for k, g in hist.groupby(key, sort=True):
+        counts = np.zeros(nbins, dtype=np.float64)
+        counts[g["bin_id"].to_numpy()] = g["n"].to_numpy()
+        total = counts.sum()
+        if bounds is not None:
+            b = bounds.loc[bounds[key] == k]
+            lo, hi = float(b["lo"].iloc[0]), float(b["hi"].iloc[0])
+        else:
+            lo, hi = 0.0, 1.0
+        width = (hi - lo) / float(nbins) if hi > lo else 0.0
+        cum = np.cumsum(counts)
+        row = {key: k}
+        for q in quantiles:
+            if total == 0 or width == 0.0:
+                row[f"q{int(q * 100)}"] = lo
+                continue
+            target = q * total
+            b_idx = int(np.searchsorted(cum, target, side="left"))
+            b_idx = min(b_idx, nbins - 1)
+            prev = cum[b_idx - 1] if b_idx else 0.0
+            frac = ((target - prev) / counts[b_idx]
+                    if counts[b_idx] > 0 else 0.0)
+            row[f"q{int(q * 100)}"] = lo + width * (b_idx + frac)
+        rows.append(row)
+    return pd.DataFrame(rows)
 
 
 def hll_estimate(regs: np.ndarray) -> float:

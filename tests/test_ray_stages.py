@@ -871,3 +871,32 @@ def test_chunk_documents(ray_session):
     assert (df.doc_id == 2).sum() == 0          # empty doc yields nothing
     d3 = df[df.doc_id == 3]
     assert len(d3) == 1 and d3.iloc[0].chunk_text == "only two"
+
+
+def test_grouped_histogram(ray_session):
+    """Equi-width histogram sketch: bin placement, degenerate keys, and
+    quantile estimates within one bin width of exact."""
+    import ray.data
+    from pdf_parser_ray.stages.sketch import (grouped_histogram,
+                                              histogram_quantiles)
+    rng = np.random.RandomState(7)
+    vals = rng.uniform(10.0, 50.0, size=2000)
+    rows = ([{"k": "a", "v": float(x)} for x in vals]
+            + [{"k": "flat", "v": 3.0} for _ in range(5)])
+    hist = grouped_histogram(ray.data.from_items(rows), "k", "v", nbins=64)
+    a = hist[hist.k == "a"]
+    assert a.n.sum() == 2000
+    assert a.bin_id.min() == 0 and a.bin_id.max() == 63
+    flat = hist[hist.k == "flat"]
+    assert list(flat.bin_id) == [0] and list(flat.n) == [5]
+
+    bounds = pd.DataFrame({"k": ["a", "flat"],
+                           "lo": [vals.min(), 3.0],
+                           "hi": [vals.max(), 3.0]})
+    est = histogram_quantiles(hist, "k", (0.5, 0.9), bounds=bounds)
+    width = (vals.max() - vals.min()) / 64.0
+    ea = est[est.k == "a"].iloc[0]
+    assert abs(ea.q50 - np.quantile(vals, 0.5)) <= width + 1e-9
+    assert abs(ea.q90 - np.quantile(vals, 0.9)) <= width + 1e-9
+    ef = est[est.k == "flat"].iloc[0]
+    assert ef.q50 == 3.0 and ef.q90 == 3.0
