@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q32_repetition_stats": Q.q32_repetition_stats,
         "q33_chunk_documents": Q.q33_chunk_documents,
         "q34_value_histogram": Q.q34_value_histogram,
+        "q35_decontaminate": Q.q35_decontaminate,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -415,6 +416,32 @@ def oracle_sql() -> dict[str, str]:
                    md5(md5(text) || ':' || CAST(fi AS VARCHAR)) AS frame_hash
             FROM documents, range(4) t(fi)
             ORDER BY media_id, frame_idx""",
+        "q35_decontaminate": r"""
+            WITH s AS (
+              SELECT doc_id, text,
+                     CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                               < 'e666' THEN 'train'
+                          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                               < 'f333' THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents),
+            tok AS (
+              SELECT doc_id, split,
+                     regexp_extract_all(text, '\S+') AS toks
+              FROM s),
+            tr AS (
+              SELECT DISTINCT array_to_string(toks[g.j:g.j + 7], ' ')
+                         AS gram
+              FROM tok, UNNEST(generate_series(1, len(toks) - 7)) AS g(j)
+              WHERE split = 'train'),
+            te AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(toks[g.j:g.j + 7], ' ') AS gram
+              FROM tok, UNNEST(generate_series(1, len(toks) - 7)) AS g(j)
+              WHERE split = 'test')
+            SELECT te.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM te JOIN tr USING (gram)
+            GROUP BY 1 ORDER BY 1""",
         "q60_train_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)

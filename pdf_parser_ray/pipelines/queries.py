@@ -706,6 +706,18 @@ def q34_value_histogram(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "bin_id"]).reset_index(drop=True)
 
 
+def q35_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Train/test decontamination: distinct 8-token-gram overlap counts
+    for test-split docs against the train split (contaminated docs
+    only). The GPT-3-style pre-training hygiene pass."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    train = TS.filter_split(ds, "doc_id", {"train"})
+    test = TS.filter_split(ds, "doc_id", {"test"})
+    out = TS.ngram_contamination(train, test, "doc_id", "text", n=8)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
 SAMPLE_DEFAULT = 0.125
 

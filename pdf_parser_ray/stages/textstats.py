@@ -510,3 +510,108 @@ def chunk_documents(ds, id_col: str, text_col: str = "text", *,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         chunk, batch_format="pandas", batch_size=batch_size)
+
+
+def filter_split(ds, id_col: str, splits, *, batch_size: int = 4096):
+    """Keep only rows whose :func:`assign_split` bucket is in ``splits``
+    ({'train','val','test'} subset). Same stable md5 rule, applied as a
+    per-batch filter so the full table (text included) streams through
+    without a join against the split assignment."""
+    want = frozenset(splits)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(v).encode()).hexdigest()[:4]
+             for v in df[id_col]]
+        s = ["train" if x < SPLIT_BOUNDS[0][1]
+             else ("val" if x < SPLIT_BOUNDS[1][1] else "test") for x in h]
+        return df[pd.Series(s, index=df.index).isin(want)]
+
+    return ds.map_batches(keep, batch_format="pandas",
+                          batch_size=batch_size)
+
+
+def ngram_contamination(train_ds, test_ds, id_col: str,
+                        text_col: str = "text", *, n: int = 8,
+                        n_parts: int = 64,
+                        batch_size: int = 512) -> pd.DataFrame:
+    """Train/test decontamination by exact token n-gram overlap — the
+    GPT-3/PaLM-style contamination check: for every test document, count
+    how many of its DISTINCT n-grams appear anywhere in the training
+    split. Test docs with n_hits > 0 are contaminated and get dropped or
+    flagged upstream of training.
+
+    Distributed shape (no driver-side gram set, no broadcast of the
+    training corpus):
+      1. both sides explode per batch into (id, gram, side) rows —
+         per-doc distinct grams, a doc is one row so distinctness is
+         exact without a shuffle;
+      2. union → coarsened co-partition on hash(gram) % n_parts
+         (``add_coarse_part``), so every occurrence of a gram lands in
+         exactly one partition;
+      3. in-partition C-level hash join (test rows ⋈ distinct train
+         grams) → per-partition partial (id, n_hits) counts — disjoint
+         gram sets make the partials additive;
+      4. tiny final sum by id (O(contaminated docs × n_parts) rows).
+
+    Joining on the raw gram STRING keeps the op bit-exact against the
+    SQL oracle; at 100 TB you would join on a 64-bit gram hash instead
+    (``dedup._hash_strings_vec``) and accept the ~2^-64 collision rate —
+    the shuffle shape is identical, only the key narrows.
+
+    Returns a pandas frame (id, n_hits int64) of contaminated test docs,
+    sorted by id; clean docs are absent.
+    """
+    from .relational import add_coarse_part
+
+    def explode(side_val: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            ids: list = []
+            grams: list[str] = []
+            for i, toks in zip(df[id_col],
+                               df[text_col].fillna("").str.split()):
+                m = len(toks) - n + 1
+                if m <= 0:
+                    continue
+                seen = set()
+                for j in range(m):
+                    g = " ".join(toks[j:j + n])
+                    if g not in seen:
+                        seen.add(g)
+                        ids.append(i)
+                        grams.append(g)
+            return pd.DataFrame({
+                id_col: pd.Series(ids, dtype=df[id_col].dtype),
+                "gram": pd.Series(grams, dtype="object"),
+                "side": pd.Series(
+                    np.full(len(ids), side_val, dtype=np.int8)),
+            })
+        return f
+
+    tr = (train_ds.select_columns([id_col, text_col])
+          .map_batches(explode(0), batch_format="pandas",
+                       batch_size=batch_size))
+    te = (test_ds.select_columns([id_col, text_col])
+          .map_batches(explode(1), batch_format="pandas",
+                       batch_size=batch_size))
+    both = add_coarse_part(tr.union(te), "gram", n_parts)
+
+    def hits(group: pd.DataFrame) -> pd.DataFrame:
+        t = group[group["side"] == 1]
+        tr_grams = (group.loc[group["side"] == 0, ["gram"]]
+                    .drop_duplicates())
+        if not len(t) or not len(tr_grams):
+            return pd.DataFrame({id_col: pd.Series([], dtype=group[id_col].dtype),
+                                 "n_hits": pd.Series([], dtype="int64")})
+        hit = t.merge(tr_grams, on="gram")
+        out = (hit.groupby(id_col, sort=False).size()
+               .rename("n_hits").reset_index())
+        out["n_hits"] = out["n_hits"].astype("int64")
+        return out
+
+    parts = (both.groupby("_kpart")
+             .map_groups(hits, batch_format="pandas").to_pandas())
+    if not len(parts):
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "n_hits": pd.Series([], dtype="int64")})
+    return (parts.groupby(id_col, sort=True)["n_hits"].sum()
+            .astype("int64").reset_index())

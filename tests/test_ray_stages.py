@@ -900,3 +900,25 @@ def test_grouped_histogram(ray_session):
     assert abs(ea.q90 - np.quantile(vals, 0.9)) <= width + 1e-9
     ef = est[est.k == "flat"].iloc[0]
     assert ef.q50 == 3.0 and ef.q90 == 3.0
+
+
+def test_ngram_contamination(ray_session):
+    """Constructed overlap: counts distinct shared n-grams per test doc,
+    ignores short docs and within-doc repeats."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import ngram_contamination
+    train = [{"doc_id": 1, "text": "a b c d e f"},
+             {"doc_id": 2, "text": "x y z w v u"}]
+    test = [
+        # shares "a b c d" and "b c d e" with train doc 1
+        {"doc_id": 10, "text": "a b c d e Q"},
+        # repeats the shared gram twice -> still 1 distinct hit
+        {"doc_id": 11, "text": "x y z w x y z w"},
+        {"doc_id": 12, "text": "p q r s t"},     # clean
+        {"doc_id": 13, "text": "a b c"},          # too short for n=4
+    ]
+    out = ngram_contamination(ray.data.from_items(train),
+                              ray.data.from_items(test),
+                              "doc_id", "text", n=4, n_parts=8)
+    got = dict(zip(out.doc_id, out.n_hits))
+    assert got == {10: 2, 11: 1}
