@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q33_chunk_documents": Q.q33_chunk_documents,
         "q34_value_histogram": Q.q34_value_histogram,
         "q35_decontaminate": Q.q35_decontaminate,
+        "q36_bloom_bits": Q.q36_bloom_bits,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -442,6 +443,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT te.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
             FROM te JOIN tr USING (gram)
             GROUP BY 1 ORDER BY 1""",
+        "q36_bloom_bits": """
+            WITH h AS (
+              SELECT DISTINCT
+                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                     AS UBIGINT) AS h1,
+                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))
+                     AS UBIGINT) AS h2
+              FROM events WHERE user_id IS NOT NULL)
+            SELECT DISTINCT CAST((h1 + g.i * h2) % 8192 AS BIGINT) AS pos
+            FROM h, UNNEST(generate_series(0, 3)) AS g(i)
+            ORDER BY pos""",
         "q60_train_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)

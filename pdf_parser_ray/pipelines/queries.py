@@ -718,6 +718,18 @@ def q35_decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q36_bloom_bits(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter sketch over events.user_id: the exact set-bit
+    positions (deterministic md5 double hashing), hash-oracle-checkable
+    like the KMV sketch even though membership answers are
+    probabilistic."""
+    from ..stages.sketch import BLOOM_K, BLOOM_M, bloom_sketch
+    ds = _read(sf_dir, "events").select_columns(["user_id"])
+    bits = bloom_sketch(ds, "user_id", m=BLOOM_M, k=BLOOM_K)
+    return pd.DataFrame({"pos": pd.Series(np.flatnonzero(bits),
+                                          dtype="int64")})
+
+
 SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
 SAMPLE_DEFAULT = 0.125
 

@@ -200,3 +200,60 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+BLOOM_M = 8192
+BLOOM_K = 4
+
+
+def bloom_sketch(ds, col: str, *, m: int = BLOOM_M,
+                 k: int = BLOOM_K) -> np.ndarray:
+    """Bloom filter over a column — the membership sketch a web pipeline
+    uses for URL blocklists and already-seen sets where a shuffle join
+    against the full key set would be absurd. Double hashing (Kirsch &
+    Mitzenmacher 2006): md5(value) supplies two 32-bit words h1, h2 and
+    bit i lands at (h1 + i*h2) % m.
+
+    Per-batch partials are m-bit arrays OR-merged on the driver (the
+    Bloom merge law), so only O(batches × m/8) bytes move — never the
+    column. Like the KMV sketch, the CONTENT is deterministic and
+    SQL-replicable (``CAST('0x' || substr(md5(v),1,8) AS UBIGINT)``), so
+    the q36 oracle hash-checks the exact set-bit positions.
+
+    Returns a bool numpy array of length m.
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m, dtype=bool)
+        vals = df[col].dropna().unique()
+        if len(vals):
+            hx = _md5_hex(vals)
+            h1 = np.array([int(h[:8], 16) for h in hx], dtype=np.uint64)
+            h2 = np.array([int(h[8:16], 16) for h in hx], dtype=np.uint64)
+            for i in range(k):
+                bits[((h1 + np.uint64(i) * h2) % np.uint64(m))
+                     .astype(np.int64)] = True
+        return pd.DataFrame({"bits": [np.packbits(bits).tobytes()]})
+
+    parts = (ds.select_columns([col])
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    merged = np.zeros((m + 7) // 8 * 8, dtype=np.uint8)
+    for blob in parts["bits"]:
+        merged |= np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
+    return merged[:m].astype(bool)
+
+
+def bloom_contains(bits: np.ndarray, values, *,
+                   k: int = BLOOM_K) -> np.ndarray:
+    """Vectorized membership probe: True = possibly present (false-
+    positive rate ~(1-e^{-kn/m})^k), False = definitely absent. Use
+    inside ``map_batches`` with the bits broadcast once via ``ray.put``
+    to filter a stream against a blocklist with zero shuffle."""
+    m = len(bits)
+    hx = _md5_hex(values)
+    h1 = np.array([int(h[:8], 16) for h in hx], dtype=np.uint64)
+    h2 = np.array([int(h[8:16], 16) for h in hx], dtype=np.uint64)
+    out = np.ones(len(hx), dtype=bool)
+    for i in range(k):
+        out &= bits[((h1 + np.uint64(i) * h2) % np.uint64(m))
+                    .astype(np.int64)]
+    return out

@@ -922,3 +922,18 @@ def test_ngram_contamination(ray_session):
                               "doc_id", "text", n=4, n_parts=8)
     got = dict(zip(out.doc_id, out.n_hits))
     assert got == {10: 2, 11: 1}
+
+
+def test_bloom_sketch(ray_session):
+    """Bloom filter: no false negatives, bounded false-positive rate,
+    partials OR-merge across batches."""
+    import ray.data
+    from pdf_parser_ray.stages.sketch import bloom_contains, bloom_sketch
+    members = [f"url-{i}" for i in range(300)]
+    ds = ray.data.from_items([{"u": m} for m in members]).repartition(5)
+    bits = bloom_sketch(ds, "u", m=8192, k=4)
+    assert bloom_contains(bits, members, k=4).all()   # no false negatives
+    probes = [f"other-{i}" for i in range(1000)]
+    fp = bloom_contains(bits, probes, k=4).mean()
+    # n=300, m=8192, k=4 -> theoretical fp ~ 0.0004; allow generous slack
+    assert fp < 0.01
