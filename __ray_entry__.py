@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q34_value_histogram": Q.q34_value_histogram,
         "q35_decontaminate": Q.q35_decontaminate,
         "q36_bloom_bits": Q.q36_bloom_bits,
+        "q37_label_centroids": Q.q37_label_centroids,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -454,6 +455,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT CAST((h1 + g.i * h2) % 8192 AS BIGINT) AS pos
             FROM h, UNNEST(generate_series(0, 3)) AS g(i)
             ORDER BY pos""",
+        "q37_label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(g.i - 1 AS BIGINT) AS dim,
+                   ROUND(AVG(CAST(embedding[g.i] AS DOUBLE)), 6) AS v
+            FROM embeddings,
+                 UNNEST(generate_series(1, len(embedding))) AS g(i)
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "q60_train_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)

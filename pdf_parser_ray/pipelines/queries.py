@@ -730,6 +730,14 @@ def q36_bloom_bits(sf_dir: str) -> pd.DataFrame:
                                           dtype="int64")})
 
 
+def q37_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label mean embedding (class centroids), exploded to
+    (label, dim, v) rows for exact SQL comparison."""
+    ds = _read(sf_dir, "embeddings")
+    return SIM.label_centroids(ds, vec_col="embedding",
+                               label_col="label")
+
+
 SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
 SAMPLE_DEFAULT = 0.125
 

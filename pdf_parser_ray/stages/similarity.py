@@ -222,3 +222,43 @@ def knn_topk_ivf(ds, queries: dict, centroids: np.ndarray, *, vec_col: str,
     pruned = part_ds.map_batches(keep, batch_format="pandas")
     return knn_topk(pruned, queries, vec_col=vec_col, id_col=id_col, k=k,
                     batch_size=batch_size)
+
+
+def label_centroids(ds, *, vec_col: str, label_col: str,
+                    batch_size: int = 2048) -> pd.DataFrame:
+    """Per-label mean embedding (class centroids) — the building block of
+    k-means refits, prototype classifiers and embedding-drift monitors.
+
+    Pre-aggregate shape: each batch stacks its vectors into one matrix and
+    reduces to (label, dim, partial_sum, n) rows — ``labels × dims`` per
+    batch regardless of batch size — merged on the driver with a tiny
+    groupby. The vector column itself never shuffles.
+
+    Returns pandas (label int64, dim int64, v float64 rounded to 6 dp),
+    sorted — the exploded layout the SQL oracle can replicate via
+    ``embedding[i]`` subscripting.
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        labels = df[label_col].to_numpy()
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq))
+        d = mat.shape[1]
+        return pd.DataFrame({
+            "label": pd.Series(np.repeat(uniq, d).astype("int64")),
+            "dim": pd.Series(np.tile(np.arange(d), len(uniq)),
+                             dtype="int64"),
+            "s": pd.Series(sums.ravel()),
+            "n": pd.Series(np.repeat(counts, d).astype("int64")),
+        })
+
+    parts = (ds.select_columns([label_col, vec_col])
+             .map_batches(partial, batch_format="pandas",
+                          batch_size=batch_size)
+             .to_pandas())
+    agg = parts.groupby(["label", "dim"], sort=True).agg(
+        s=("s", "sum"), n=("n", "sum")).reset_index()
+    agg["v"] = (agg["s"] / agg["n"]).round(6)
+    return agg[["label", "dim", "v"]].reset_index(drop=True)

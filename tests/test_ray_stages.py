@@ -937,3 +937,16 @@ def test_bloom_sketch(ray_session):
     fp = bloom_contains(bits, probes, k=4).mean()
     # n=300, m=8192, k=4 -> theoretical fp ~ 0.0004; allow generous slack
     assert fp < 0.01
+
+
+def test_label_centroids(ray_session):
+    """Centroids are exact per-label means across batch boundaries."""
+    import ray.data
+    from pdf_parser_ray.stages.similarity import label_centroids
+    rows = ([{"label": 0, "embedding": [1.0, 2.0]} for _ in range(3)]
+            + [{"label": 1, "embedding": [0.0, 4.0]},
+               {"label": 1, "embedding": [2.0, 0.0]}])
+    out = label_centroids(ray.data.from_items(rows).repartition(3),
+                          vec_col="embedding", label_col="label")
+    got = {(r.label, r.dim): r.v for r in out.itertuples()}
+    assert got == {(0, 0): 1.0, (0, 1): 2.0, (1, 0): 1.0, (1, 1): 2.0}
