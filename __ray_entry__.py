@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q35_decontaminate": Q.q35_decontaminate,
         "q36_bloom_bits": Q.q36_bloom_bits,
         "q37_label_centroids": Q.q37_label_centroids,
+        "q38_kmeans": Q.q38_kmeans,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -462,6 +463,45 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings,
                  UNNEST(generate_series(1, len(embedding))) AS g(i)
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        "q38_kmeans": """
+            WITH c0 AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                          AS BIGINT) AS cid, embedding
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 8)),
+            d1 AS (
+              SELECT e.vec_id, c.cid,
+                     list_sum(list_transform(
+                       generate_series(1, len(e.embedding)),
+                       i -> (CAST(e.embedding[i] AS DOUBLE)
+                             - CAST(c.embedding[i] AS DOUBLE)) ** 2)) AS d
+              FROM embeddings e CROSS JOIN c0 c),
+            a1 AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY d, cid) AS r
+                FROM d1) WHERE r = 1),
+            c1e AS (
+              SELECT a1.cid, g.i AS dim,
+                     AVG(CAST(e.embedding[g.i] AS DOUBLE)) AS v
+              FROM embeddings e JOIN a1 USING (vec_id),
+                   UNNEST(generate_series(1, len(e.embedding))) AS g(i)
+              GROUP BY 1, 2),
+            c1 AS (
+              SELECT cid, list(v ORDER BY dim) AS embedding
+              FROM c1e GROUP BY cid),
+            d2 AS (
+              SELECT e.vec_id, c.cid,
+                     list_sum(list_transform(
+                       generate_series(1, len(e.embedding)),
+                       i -> (CAST(e.embedding[i] AS DOUBLE)
+                             - c.embedding[i]) ** 2)) AS d
+              FROM embeddings e CROSS JOIN c1 c)
+            SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+              SELECT vec_id, cid, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d, cid) AS r
+              FROM d2) WHERE r = 1
+            ORDER BY vec_id""",
         "q60_train_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)

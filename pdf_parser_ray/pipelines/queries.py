@@ -738,6 +738,17 @@ def q37_label_centroids(sf_dir: str) -> pd.DataFrame:
                                label_col="label")
 
 
+def q38_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 iterations, deterministic
+    first-k init) over the embedding table; output is the final
+    cluster assignment per vector."""
+    ds = _read(sf_dir, "embeddings")
+    out = SIM.kmeans(ds, vec_col="embedding", id_col="vec_id",
+                     k=8, iters=2).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
 SAMPLE_DEFAULT = 0.125
 

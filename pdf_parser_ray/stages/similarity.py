@@ -262,3 +262,84 @@ def label_centroids(ds, *, vec_col: str, label_col: str,
         s=("s", "sum"), n=("n", "sum")).reset_index()
     agg["v"] = (agg["s"] / agg["n"]).round(6)
     return agg[["label", "dim", "v"]].reset_index(drop=True)
+
+
+def kmeans(ds, *, vec_col: str, id_col: str, k: int = 8, iters: int = 2,
+           batch_size: int = 2048):
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Each iteration is ONE streaming pass: every batch assigns its vectors
+    to the nearest current centroid (vectorized squared-L2 in float64,
+    ties to the smaller cluster id) and reduces to (cid, dim, sum, n)
+    partials — ``k × dims`` rows per batch — which merge on the driver
+    into the next centroids. The vector column never shuffles and no
+    iteration materializes the corpus; a final pass emits the assignment
+    Dataset. Empty clusters are dropped (ids keep their original values),
+    matching the SQL twin where an unassigned cluster simply vanishes
+    from the mean.
+
+    Init is deterministic with no RNG: the k smallest ``id_col`` rows, in
+    id order, become centroids 0..k-1 — which makes even the iterated
+    assignments exactly replicable by the q38 oracle. Centroids are
+    captured in the task closure (k × dims floats); at very large k ship
+    them with ``ray.put`` instead.
+
+    ``iters`` counts ASSIGNMENT passes: the returned labels are the
+    assignment of pass ``iters`` against centroids refit ``iters - 1``
+    times (iters=1 = nearest-init-centroid, no refit). Total streaming
+    passes over the corpus = ``iters`` (+1 tiny init top-k).
+
+    Returns a Dataset of (id_col, cluster int64).
+    """
+    from .relational import topk
+
+    proj = ds.select_columns([id_col, vec_col])
+    init = (topk(proj, id_col, k, ascending=True)
+            .sort_values(id_col).reset_index(drop=True))
+    cids = np.arange(len(init), dtype=np.int64)
+    cents = np.stack(init[vec_col].to_numpy()).astype(np.float64)
+
+    def nearest(mat: np.ndarray, cids_: np.ndarray,
+                cents_: np.ndarray) -> np.ndarray:
+        # explicit per-dim difference form mirrors the oracle's
+        # list_sum((x_i - c_i)^2); cids_ ascending => argmin's
+        # first-minimum rule == the SQL ORDER BY d, cid tie-break
+        d = ((mat[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+        return cids_[np.argmin(d, axis=1)]
+
+    for _ in range(max(0, iters - 1)):
+        def part(df: pd.DataFrame, cids_=cids,
+                 cents_=cents) -> pd.DataFrame:
+            mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+            a = nearest(mat, cids_, cents_)
+            uniq, inv = np.unique(a, return_inverse=True)
+            sums = np.zeros((len(uniq), mat.shape[1]), dtype=np.float64)
+            np.add.at(sums, inv, mat)
+            counts = np.bincount(inv, minlength=len(uniq))
+            nd = mat.shape[1]
+            return pd.DataFrame({
+                "cid": pd.Series(np.repeat(uniq, nd), dtype="int64"),
+                "dim": pd.Series(np.tile(np.arange(nd), len(uniq)),
+                                 dtype="int64"),
+                "s": pd.Series(sums.ravel()),
+                "n": pd.Series(np.repeat(counts, nd).astype("int64")),
+            })
+
+        parts = proj.map_batches(part, batch_format="pandas",
+                                 batch_size=batch_size).to_pandas()
+        agg = (parts.groupby(["cid", "dim"], sort=True)
+               .agg(s=("s", "sum"), n=("n", "sum")).reset_index())
+        cids = np.sort(agg["cid"].unique()).astype(np.int64)
+        nd = int(agg["dim"].nunique())
+        cents = (agg.sort_values(["cid", "dim"])["s"].to_numpy()
+                 / agg.sort_values(["cid", "dim"])["n"].to_numpy()
+                 ).reshape(len(cids), nd)
+
+    def lab(df: pd.DataFrame, cids_=cids, cents_=cents) -> pd.DataFrame:
+        mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cluster": nearest(mat, cids_, cents_).astype("int64")})
+
+    return proj.map_batches(lab, batch_format="pandas",
+                            batch_size=batch_size)

@@ -950,3 +950,27 @@ def test_label_centroids(ray_session):
                           vec_col="embedding", label_col="label")
     got = {(r.label, r.dim): r.v for r in out.itertuples()}
     assert got == {(0, 0): 1.0, (0, 1): 2.0, (1, 0): 1.0, (1, 1): 2.0}
+
+
+def test_kmeans(ray_session):
+    """Lloyd's iterations recover well-separated clusters regardless of
+    which points seed the init."""
+    import ray.data
+    from pdf_parser_ray.stages.similarity import kmeans
+    rng = np.random.RandomState(3)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]])
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = centers[c] + rng.normal(0, 0.5, 2)
+        rows.append({"vec_id": i, "embedding": v.tolist(), "true": c})
+    out = (kmeans(ray.data.from_items(rows).repartition(4),
+                  vec_col="embedding", id_col="vec_id", k=3, iters=5)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    truth = pd.Series([i % 3 for i in range(90)])
+    # cluster labels are arbitrary — check the partition is identical
+    purity = (out.groupby("cluster")
+              .apply(lambda g: truth[g.index].value_counts().iloc[0])
+              .sum())
+    assert out.cluster.nunique() == 3
+    assert purity == 90
