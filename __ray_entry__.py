@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q36_bloom_bits": Q.q36_bloom_bits,
         "q37_label_centroids": Q.q37_label_centroids,
         "q38_kmeans": Q.q38_kmeans,
+        "q39_count_min": Q.q39_count_min,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -502,6 +503,20 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY vec_id ORDER BY d, cid) AS r
               FROM d2) WHERE r = 1
             ORDER BY vec_id""",
+        "q39_count_min": r"""
+            WITH toks AS (
+              SELECT u.t AS t
+              FROM documents, UNNEST(regexp_extract_all(text, '\S+'))
+                   AS u(t)),
+            cells AS (
+              SELECT g.r AS row,
+                     CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR)
+                                              || ':' || t), 1, 8))
+                          AS UBIGINT) % 1024 AS cell
+              FROM toks, UNNEST(generate_series(0, 3)) AS g(r))
+            SELECT CAST(row AS BIGINT) AS row, CAST(cell AS BIGINT) AS cell,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM cells GROUP BY 1, 2 ORDER BY 1, 2""",
         "q60_train_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)

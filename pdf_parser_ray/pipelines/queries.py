@@ -749,6 +749,19 @@ def q38_kmeans(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q39_count_min(sf_dir: str) -> pd.DataFrame:
+    """Count-min sketch over the documents token stream: nonzero cells
+    (row, cell, n) are exact sums of deterministic hash buckets, so the
+    sketch content is hash-oracle-checkable."""
+    from ..stages.sketch import CMS_D, CMS_W, count_min_sketch
+    ds = _read(sf_dir, "documents").select_columns(["text"])
+    mat = count_min_sketch(ds, "text", d=CMS_D, w=CMS_W)
+    r, c = np.nonzero(mat)
+    return pd.DataFrame({"row": pd.Series(r, dtype="int64"),
+                         "cell": pd.Series(c, dtype="int64"),
+                         "n": pd.Series(mat[r, c], dtype="int64")})
+
+
 SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
 SAMPLE_DEFAULT = 0.125
 

@@ -257,3 +257,56 @@ def bloom_contains(bits: np.ndarray, values, *,
         out &= bits[((h1 + np.uint64(i) * h2) % np.uint64(m))
                     .astype(np.int64)]
     return out
+
+
+CMS_D = 4
+CMS_W = 1024
+
+
+def count_min_sketch(ds, text_col: str, *, d: int = CMS_D,
+                     w: int = CMS_W,
+                     batch_size: int = 1024) -> np.ndarray:
+    """Count-min sketch over the whitespace-token stream of a text
+    column — approximate per-token frequencies in O(d × w) memory where
+    the exact answer is a full token groupby. Each batch reduces to a
+    d × w int64 counter matrix (row r hashes token t to
+    ``md5(f"{r}:{t}")[:8] % w``); matrices SUM-merge (the CMS merge
+    law), so partials are a fixed 32 KB regardless of batch size.
+
+    Cell contents are exact sums of deterministic hash buckets, so the
+    sketch is hash-oracle-checkable (q39) like every sketch in this
+    module; only the point estimate (min over rows, upward-biased by
+    collisions) is approximate — see :func:`cms_estimate`.
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.zeros((d, w), dtype=np.int64)
+        toks = df[text_col].fillna("").str.split().explode().dropna()
+        if len(toks):
+            counts = toks.value_counts()
+            for r in range(d):
+                cells = np.array(
+                    [int(hashlib.md5(f"{r}:{t}".encode())
+                         .hexdigest()[:8], 16) % w
+                     for t in counts.index], dtype=np.int64)
+                np.add.at(mat[r], cells, counts.to_numpy())
+        return pd.DataFrame({"m": [mat.tobytes()]})
+
+    parts = (ds.select_columns([text_col])
+             .map_batches(partial, batch_format="pandas",
+                          batch_size=batch_size).to_pandas())
+    merged = np.zeros(d * w, dtype=np.int64)
+    for blob in parts["m"]:
+        merged += np.frombuffer(blob, dtype=np.int64)
+    return merged.reshape(d, w)
+
+
+def cms_estimate(mat: np.ndarray, tokens, *, w: int = CMS_W) -> np.ndarray:
+    """Point frequency estimates: min over the d rows — never an
+    undercount, overcounts only on all-row collisions."""
+    d = mat.shape[0]
+    out = np.empty((d, len(tokens)), dtype=np.int64)
+    for r in range(d):
+        cells = [int(hashlib.md5(f"{r}:{t}".encode()).hexdigest()[:8],
+                     16) % w for t in tokens]
+        out[r] = mat[r, cells]
+    return out.min(axis=0)

@@ -974,3 +974,19 @@ def test_kmeans(ray_session):
               .sum())
     assert out.cluster.nunique() == 3
     assert purity == 90
+
+
+def test_count_min_sketch(ray_session):
+    """CMS estimates never undercount and are exact for hot tokens in a
+    sparse sketch; partials sum-merge across batches."""
+    import ray.data
+    from pdf_parser_ray.stages.sketch import cms_estimate, count_min_sketch
+    rows = ([{"text": "apple banana apple"}] * 10
+            + [{"text": "cherry"}] * 3)
+    mat = count_min_sketch(ray.data.from_items(rows).repartition(4),
+                           "text", d=4, w=1024)
+    assert mat.sum() == 4 * (30 + 3)  # every token counted in all 4 rows
+    est = cms_estimate(mat, ["apple", "banana", "cherry", "absent"])
+    assert est[0] >= 20 and est[1] >= 10 and est[2] >= 3
+    # sparse sketch (3 tokens, 1024 cells): collisions essentially nil
+    assert list(est[:3]) == [20, 10, 3] and est[3] == 0
