@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q37_label_centroids": Q.q37_label_centroids,
         "q38_kmeans": Q.q38_kmeans,
         "q39_count_min": Q.q39_count_min,
+        "q41_temperature_sample": Q.q41_temperature_sample,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -517,6 +518,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row AS BIGINT) AS row, CAST(cell AS BIGINT) AS cell,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM cells GROUP BY 1, 2 ORDER BY 1, 2""",
+        "q41_temperature_sample": """
+            WITH c AS (
+              SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+            r AS (
+              SELECT lang,
+                     SQRT((SELECT MIN(n) FROM c) / CAST(n AS DOUBLE))
+                         AS rate
+              FROM c)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r USING (lang)
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                       1, 8)) AS UBIGINT)
+                  / 4294967296.0 < r.rate
+            ORDER BY d.doc_id""",
         "q60_train_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)

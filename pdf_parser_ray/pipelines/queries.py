@@ -762,6 +762,18 @@ def q39_count_min(sf_dir: str) -> pd.DataFrame:
                          "n": pd.Series(mat[r, c], dtype="int64")})
 
 
+def q41_temperature_sample(sf_dir: str) -> pd.DataFrame:
+    """Temperature (alpha=0.5) language rebalancing over documents:
+    deterministic md5-threshold keep decisions with per-lang rates
+    sqrt(n_min / n_lang) computed from the corpus itself."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
+    out = TS.temperature_sample(ds, "doc_id", "lang",
+                                alpha=0.5).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (out[["doc_id", "lang"]].sort_values("doc_id")
+            .reset_index(drop=True))
+
+
 SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
 SAMPLE_DEFAULT = 0.125
 

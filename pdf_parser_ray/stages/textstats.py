@@ -615,3 +615,47 @@ def ngram_contamination(train_ds, test_ds, id_col: str,
                              "n_hits": pd.Series([], dtype="int64")})
     return (parts.groupby(id_col, sort=True)["n_hits"].sum()
             .astype("int64").reset_index())
+
+
+def temperature_sample(ds, id_col: str, group_col: str, *,
+                       alpha: float = 0.5, batch_size: int = 4096):
+    """Temperature-based group rebalancing (the XLM-R / mT5 multilingual
+    recipe, downsample-only form): group g keeps each row with
+    probability ``sqrt(n_min / n_g)`` at the default alpha=0.5, so the
+    smallest group keeps everything and dominant groups shrink toward
+    the flattened p^alpha distribution.
+
+    Two streaming passes, zero shuffles: (1) per-batch group-count
+    partials merge to a tiny rate table on the driver, (2) a stable
+    md5-threshold filter (same hash family as :func:`assign_split`)
+    keeps rows deterministically — reproducible on any cluster size and
+    SQL-replicable. Rates use ``sqrt`` (correctly rounded IEEE on both
+    engines) rather than a general pow to keep the keep/drop boundary
+    bit-exact against the oracle.
+    """
+    if alpha != 0.5:
+        raise NotImplementedError(
+            "only alpha=0.5 (sqrt) keeps the oracle boundary bit-exact; "
+            "generalize with pow() and accept 1-ulp boundary risk")
+    import math
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, sort=False).size().rename("n")
+        return g.reset_index()
+
+    parts = (ds.select_columns([group_col])
+             .map_batches(count_partial, batch_format="pandas")
+             .to_pandas())
+    counts = parts.groupby(group_col, sort=False)["n"].sum()
+    n_min = int(counts.min())
+    rates = {g: math.sqrt(n_min / int(n)) for g, n in counts.items()}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        frac = np.array(
+            [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+             for v in df[id_col]], dtype=np.float64) / 4294967296.0
+        rate = df[group_col].map(rates).to_numpy(dtype=np.float64)
+        return df[frac < rate]
+
+    return ds.map_batches(keep, batch_format="pandas",
+                          batch_size=batch_size)

@@ -990,3 +990,20 @@ def test_count_min_sketch(ray_session):
     assert est[0] >= 20 and est[1] >= 10 and est[2] >= 3
     # sparse sketch (3 tokens, 1024 cells): collisions essentially nil
     assert list(est[:3]) == [20, 10, 3] and est[3] == 0
+
+
+def test_temperature_sample(ray_session):
+    """Rebalancing keeps the smallest group whole and shrinks dominant
+    groups toward sqrt-flattened shares, deterministically."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import temperature_sample
+    rows = ([{"doc_id": i, "lang": "en"} for i in range(1600)]
+            + [{"doc_id": 10000 + i, "lang": "fr"} for i in range(100)])
+    ds = ray.data.from_items(rows).repartition(4)
+    out = temperature_sample(ds, "doc_id", "lang").to_pandas()
+    n = out.lang.value_counts()
+    assert n["fr"] == 100                    # smallest group: rate 1.0
+    # en rate = sqrt(100/1600) = 0.25; md5 thresholding is ~uniform
+    assert 300 <= n["en"] <= 500
+    out2 = temperature_sample(ds, "doc_id", "lang").to_pandas()
+    assert sorted(out2.doc_id) == sorted(out.doc_id)  # deterministic
