@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q38_kmeans": Q.q38_kmeans,
         "q39_count_min": Q.q39_count_min,
         "q41_temperature_sample": Q.q41_temperature_sample,
+        "q42_percent_rank": Q.q42_percent_rank,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -532,6 +533,12 @@ def oracle_sql() -> dict[str, str]:
                                        1, 8)) AS UBIGINT)
                   / 4294967296.0 < r.rate
             ORDER BY d.doc_id""",
+        "q42_percent_rank": """
+            SELECT doc_id, lang, n_chars,
+                   ROUND(PERCENT_RANK() OVER (
+                     PARTITION BY lang ORDER BY n_chars, doc_id), 6)
+                       AS pct
+            FROM documents ORDER BY doc_id""",
         "q60_train_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)

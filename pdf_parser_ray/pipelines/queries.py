@@ -774,6 +774,20 @@ def q41_temperature_sample(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q42_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """Per-language percent-rank of document length — quantile
+    normalization of a score against its group."""
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "n_chars"])
+    out = R.grouped_percent_rank(ds, "lang", ["n_chars", "doc_id"])\
+        .to_pandas()
+    out["pct"] = out["pct"].round(6)
+    for c in ("doc_id", "n_chars"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "lang", "n_chars", "pct"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
 SAMPLE_DEFAULT = 0.125
 

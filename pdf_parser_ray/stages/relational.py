@@ -487,3 +487,32 @@ def grouped_quantiles(ds, key: str, value_col: str,
            .groupby("_kpart").map_groups(part, batch_format="pyarrow")
            .to_pandas())
     return res.sort_values(key).reset_index(drop=True)
+
+
+def grouped_percent_rank(ds, key: str, order_by: list[str],
+                         pct_col: str = "pct", n_parts: int = 64):
+    """percent_rank() over (partition by key order by order_by): rank
+    normalized to [0, 1] as (rank - 1) / (n_key - 1) — the quantile
+    normalization used to compare a score against its group (e.g. doc
+    quality vs language peers). Deterministic when order_by ends in a
+    unique tie-break column.
+
+    Same coarsened-shuffle shape as :func:`grouped_rank`; the per-key
+    row count comes from a vectorized grouped transform inside the same
+    partition pass, so no second shuffle. Single-row keys get 0.0 (the
+    SQL convention).
+    """
+    import numpy as np
+
+    def rank(group: pa.Table) -> pa.Table:
+        df = (group.to_pandas()
+              .sort_values([key, *order_by], kind="mergesort"))
+        g = df.groupby(key, sort=False)
+        n = g[key].transform("size").to_numpy(dtype=np.float64)
+        r = g.cumcount().to_numpy(dtype=np.float64)
+        df[pct_col] = np.where(n > 1, r / (n - 1), 0.0)
+        return pa.Table.from_pandas(df.drop(columns=["_kpart"]),
+                                    preserve_index=False)
+
+    return (add_coarse_part(ds, key, n_parts)
+            .groupby("_kpart").map_groups(rank, batch_format="pyarrow"))

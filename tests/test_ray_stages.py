@@ -1007,3 +1007,15 @@ def test_temperature_sample(ray_session):
     assert 300 <= n["en"] <= 500
     out2 = temperature_sample(ds, "doc_id", "lang").to_pandas()
     assert sorted(out2.doc_id) == sorted(out.doc_id)  # deterministic
+
+
+def test_grouped_percent_rank(ray_session):
+    """Percent rank: [0,1] per group, single-row groups get 0."""
+    import ray.data
+    from pdf_parser_ray.stages.relational import grouped_percent_rank
+    rows = [{"k": "a", "v": 10, "id": 1}, {"k": "a", "v": 30, "id": 2},
+            {"k": "a", "v": 20, "id": 3}, {"k": "b", "v": 5, "id": 4}]
+    out = (grouped_percent_rank(ray.data.from_items(rows), "k",
+                                ["v", "id"], n_parts=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert list(out.pct) == [0.0, 1.0, 0.5, 0.0]
