@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q39_count_min": Q.q39_count_min,
         "q41_temperature_sample": Q.q41_temperature_sample,
         "q42_percent_rank": Q.q42_percent_rank,
+        "q43_uniform_sample": Q.q43_uniform_sample,
+        "q44_pack_documents": Q.q44_pack_documents,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -539,6 +541,26 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY lang ORDER BY n_chars, doc_id), 6)
                        AS pct
             FROM documents ORDER BY doc_id""",
+        "q43_uniform_sample": """
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+            ORDER BY h, doc_id LIMIT 100""",
+        "q44_pack_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CAST(('0x' || substr(md5(CAST(doc_id
+                              AS VARCHAR)), 1, 8)) AS UBIGINT) % 16
+                          AS BIGINT) AS shard,
+                     CAST(len(regexp_extract_all(text, '\S+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents)
+            SELECT doc_id, shard, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) // 256 AS BIGINT)
+                       AS pack_id
+            FROM t ORDER BY doc_id""",
         "q60_train_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)

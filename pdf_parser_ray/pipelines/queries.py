@@ -788,6 +788,39 @@ def q42_percent_rank(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q43_uniform_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic uniform corpus sample: the 100 docs with the
+    smallest md5(doc_id) — order-free, cluster-size-free, and exactly
+    reproducible (the standard 'hold out an eval subset' op). Local
+    per-block top-k + driver merge; no global sort."""
+    import hashlib as _hl
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+    def add_h(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["h"] = [_hl.md5(str(v).encode()).hexdigest()
+                   for v in df["doc_id"]]
+        return df
+
+    withh = ds.map_batches(add_h, batch_format="pandas")
+    out = R.topk(withh, "h", 100, ascending=True, tie_break="doc_id")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (out[["doc_id", "h"]].sort_values("doc_id")
+            .reset_index(drop=True))
+
+
+def q44_pack_documents(sf_dir: str) -> pd.DataFrame:
+    """Whole-document packing into ~256-token training bins within 16
+    stable hash shards."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = TS.pack_documents(ds, "doc_id", "text", budget=256,
+                            n_shards=16).to_pandas()
+    for c in ("doc_id", "shard", "n_tokens", "pack_id"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "shard", "n_tokens", "pack_id"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
 SAMPLE_DEFAULT = 0.125
 

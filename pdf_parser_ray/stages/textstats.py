@@ -659,3 +659,41 @@ def temperature_sample(ds, id_col: str, group_col: str, *,
 
     return ds.map_batches(keep, batch_format="pandas",
                           batch_size=batch_size)
+
+
+def pack_documents(ds, id_col: str, text_col: str = "text", *,
+                   budget: int = 256, n_shards: int = 16,
+                   batch_size: int = 1024):
+    """Pack whole documents into ~``budget``-token training bins: docs
+    are sharded by a stable md5 hash, and within each shard (ordered by
+    id) a doc's bin is ``floor(preceding_token_sum / budget)`` — the
+    deterministic whole-doc approximation of sequence packing. Unlike
+    greedy bin packing, the rule is order-stable and cluster-size-free,
+    so shard manifests are reproducible and the SQL oracle can replicate
+    the exact (shard, pack_id) layout via a window sum.
+
+    One shuffle on the bounded shard key (``n_shards`` groups, each a
+    vectorized sort + shifted cumsum); the text column is dropped before
+    the shuffle — only (id, shard, n_tokens) rows move.
+    """
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({id_col: df[id_col]})
+        out["shard"] = pd.Series(
+            [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+             % n_shards for v in df[id_col]], dtype="int64",
+            index=df.index)
+        out["n_tokens"] = (df[text_col].fillna("").str.split()
+                           .str.len().astype("int64"))
+        return out
+
+    proj = ds.select_columns([id_col, text_col]).map_batches(
+        prep, batch_format="pandas", batch_size=batch_size)
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col, kind="mergesort").reset_index(
+            drop=True)
+        prev = g["n_tokens"].cumsum().shift(fill_value=0)
+        g["pack_id"] = (prev // budget).astype("int64")
+        return g
+
+    return proj.groupby("shard").map_groups(pack, batch_format="pandas")

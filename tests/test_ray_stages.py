@@ -1019,3 +1019,17 @@ def test_grouped_percent_rank(ray_session):
                                 ["v", "id"], n_parts=4)
            .to_pandas().sort_values("id").reset_index(drop=True))
     assert list(out.pct) == [0.0, 1.0, 0.5, 0.0]
+
+
+def test_pack_documents(ray_session):
+    """Packing: bins fill by preceding-token cumsum within a shard;
+    whole docs never split."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import pack_documents
+    rows = [{"doc_id": i, "text": " ".join(["w"] * 10)} for i in range(9)]
+    out = (pack_documents(ray.data.from_items(rows), "doc_id",
+                          budget=25, n_shards=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # cum before each doc: 0,10,20,30,... -> pack 0,0,0,1,1,2,2,2,3
+    assert list(out.pack_id) == [0, 0, 0, 1, 1, 2, 2, 2, 3]
+    assert (out.n_tokens == 10).all() and (out.shard == 0).all()
