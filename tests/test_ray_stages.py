@@ -1033,3 +1033,46 @@ def test_pack_documents(ray_session):
     # cum before each doc: 0,10,20,30,... -> pack 0,0,0,1,1,2,2,2,3
     assert list(out.pack_id) == [0, 0, 0, 1, 1, 2, 2, 2, 3]
     assert (out.n_tokens == 10).all() and (out.shard == 0).all()
+
+
+def test_new_ops_hostile_inputs(ray_session):
+    """Nulls, empty text, and degenerate groups flow through the round-3
+    ops without exceptions or phantom rows."""
+    import ray.data
+    from pdf_parser_ray.stages.sketch import count_min_sketch, grouped_histogram
+    from pdf_parser_ray.stages.textstats import (ngram_contamination,
+                                                 pack_documents,
+                                                 temperature_sample)
+    # grouped_histogram: a key whose values are all NULL vanishes
+    rows = [{"k": "a", "v": 1.0}, {"k": "a", "v": 2.0},
+            {"k": "gone", "v": None}]
+    hist = grouped_histogram(ray.data.from_items(rows), "k", "v", nbins=8)
+    assert set(hist.k) == {"a"} and hist.n.sum() == 2
+
+    # count-min: null text counts nothing
+    mat = count_min_sketch(
+        ray.data.from_items([{"text": None}, {"text": "x"}]), "text")
+    assert mat.sum() == mat.shape[0] * 1
+
+    # contamination: null text on either side yields no grams
+    out = ngram_contamination(
+        ray.data.from_items([{"doc_id": 1, "text": None}]),
+        ray.data.from_items([{"doc_id": 2, "text": None}]),
+        "doc_id", "text", n=2, n_parts=2)
+    assert len(out) == 0
+
+    # temperature: a single group keeps every row (rate exactly 1.0)
+    ts = temperature_sample(
+        ray.data.from_items([{"doc_id": i, "lang": "en"}
+                             for i in range(50)]),
+        "doc_id", "lang").to_pandas()
+    assert len(ts) == 50
+
+    # packing: empty/None text contributes 0 tokens but stays assigned
+    pk = (pack_documents(
+        ray.data.from_items([{"doc_id": 1, "text": ""},
+                             {"doc_id": 2, "text": None},
+                             {"doc_id": 3, "text": "a b"}]),
+        "doc_id", budget=10, n_shards=1).to_pandas())
+    assert len(pk) == 3 and pk.n_tokens.sum() == 2
+    assert (pk.pack_id == 0).all()
