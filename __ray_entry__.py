@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q42_percent_rank": Q.q42_percent_rank,
         "q43_uniform_sample": Q.q43_uniform_sample,
         "q44_pack_documents": Q.q44_pack_documents,
+        "q45_connected_components": Q.q45_connected_components,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -561,6 +562,22 @@ def oracle_sql() -> dict[str, str]:
                           AND 1 PRECEDING), 0) // 256 AS BIGINT)
                        AS pack_id
             FROM t ORDER BY doc_id""",
+        "q45_connected_components": """
+            WITH brk AS (
+              SELECT doc_id,
+                     CASE WHEN LAG(lang) OVER (ORDER BY doc_id) = lang
+                           AND LAG(doc_id) OVER (ORDER BY doc_id)
+                               = doc_id - 1
+                          THEN 0 ELSE 1 END AS is_start
+              FROM documents),
+            isl AS (
+              SELECT doc_id,
+                     SUM(is_start) OVER (ORDER BY doc_id) AS island
+              FROM brk)
+            SELECT doc_id,
+                   CAST(MIN(doc_id) OVER (PARTITION BY island)
+                        AS BIGINT) AS rep
+            FROM isl ORDER BY doc_id""",
         "q60_train_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)

@@ -821,6 +821,42 @@ def q44_pack_documents(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q45_connected_components(sf_dir: str) -> pd.DataFrame:
+    """General connected components exposed as a first-class op: the
+    graph joins consecutive doc_ids that share a language (path-shaped
+    islands), built with the big-to-big shuffle join and solved by the
+    same cluster_pairs_dataset engine the near-dup family uses
+    (distributed label propagation past the size gate)."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
+
+    def lmap(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"j": df.doc_id.astype("int64"),
+                             "a_id": df.doc_id.astype("int64"),
+                             "lang_a": df.lang})
+
+    def rmap(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"j": (df.doc_id + 1).astype("int64"),
+                             "b_id": df.doc_id.astype("int64"),
+                             "lang_b": df.lang})
+
+    joined = R.shuffle_join(ds.map_batches(lmap, batch_format="pandas"),
+                            ds.map_batches(rmap, batch_format="pandas"),
+                            left_on="j")
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df.lang_a == df.lang_b]
+        return pd.DataFrame({"a": m.b_id.astype("int64"),
+                             "b": m.a_id.astype("int64")})
+
+    pairs = joined.map_batches(edges, batch_format="pandas")
+    out = D.cluster_pairs_dataset(pairs, ds.select_columns(["doc_id"]),
+                                  "doc_id").to_pandas()
+    out = out.rename(columns={"id": "doc_id"})
+    for c in ("doc_id", "rep"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
 SAMPLE_DEFAULT = 0.125
 

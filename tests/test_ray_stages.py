@@ -1076,3 +1076,20 @@ def test_new_ops_hostile_inputs(ray_session):
         "doc_id", budget=10, n_shards=1).to_pandas())
     assert len(pk) == 3 and pk.n_tokens.sum() == 2
     assert (pk.pack_id == 0).all()
+
+
+def test_connected_components_public(ray_session):
+    """cluster_pairs_dataset as a general CC op: chains, pairs and
+    isolated nodes resolve to min-id reps on the distributed path."""
+    import ray.data
+    from pdf_parser_ray.stages.dedup import cluster_pairs_dataset
+    pairs = ray.data.from_items(
+        [{"a": 0, "b": 1}, {"a": 1, "b": 2}, {"a": 2, "b": 3},  # chain
+         {"a": 10, "b": 11}])
+    ids = ray.data.from_items([{"doc_id": i}
+                               for i in [0, 1, 2, 3, 10, 11, 20]])
+    out = (cluster_pairs_dataset(pairs, ids, "doc_id",
+                                 cluster_mode="distributed")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    got = dict(zip(out.id, out.rep))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20}
