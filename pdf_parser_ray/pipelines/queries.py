@@ -857,6 +857,46 @@ def q45_connected_components(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q46_daily_active(sf_dir: str) -> pd.DataFrame:
+    """Exact daily-active-users: COUNT(DISTINCT user_id) per day via
+    local pair dedupe + coarsened-key shuffle (the exact twin of the
+    KMV/HLL sketches)."""
+    ds = _read(sf_dir, "events").select_columns(["ts", "user_id"])
+
+    def day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": df["ts"].dt.strftime("%Y-%m-%d"),
+                             "user_id": df["user_id"]})
+
+    out = R.grouped_count_distinct(
+        ds.map_batches(day, batch_format="pandas"), "day",
+        "user_id").to_pandas()
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def q47_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank (2 power iterations) over the customer→supplier link
+    graph induced by orders⋈lineitem; edges built with the big-to-big
+    shuffle join, supplier ids offset into their own namespace."""
+    from ..stages.graph import pagerank
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_suppkey"])
+    joined = R.shuffle_join(orders, li, left_on="o_orderkey",
+                            right_on="l_orderkey")
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": df["o_custkey"].astype("int64"),
+            "dst": (df["l_suppkey"] + 1_000_000_000).astype("int64")})
+
+    edges = joined.map_batches(to_edges, batch_format="pandas")
+    out = pagerank(edges, "src", "dst", iters=2, damping=0.85)
+    out["rank"] = out["rank"].round(6)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
 SAMPLE_DEFAULT = 0.125
 

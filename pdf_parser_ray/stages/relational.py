@@ -516,3 +516,29 @@ def grouped_percent_rank(ds, key: str, order_by: list[str],
 
     return (add_coarse_part(ds, key, n_parts)
             .groupby("_kpart").map_groups(rank, batch_format="pyarrow"))
+
+
+def grouped_count_distinct(ds, key_expr_col: str, value_col: str, *,
+                           n_parts: int = 64, batch_size: int = 8192):
+    """Exact COUNT(DISTINCT value) per key. Per-batch local (key, value)
+    dedupe prunes the exchange (a batch contributes each pair once),
+    then the coarsened ``groupby(key-hash)`` co-locates a key's
+    remaining pairs and an in-partition pandas ``nunique`` finishes —
+    the exact-answer twin of the KMV/HLL sketches for when the
+    distinct-pair volume is worth shuffling.
+    """
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key_expr_col, value_col]].drop_duplicates()
+
+    pruned = ds.map_batches(local, batch_format="pandas",
+                            batch_size=batch_size)
+
+    def final(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        out = (df.groupby(key_expr_col, sort=False)[value_col]
+               .nunique().rename("n_distinct").reset_index())
+        out["n_distinct"] = out["n_distinct"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (add_coarse_part(pruned, key_expr_col, n_parts)
+            .groupby("_kpart").map_groups(final, batch_format="pyarrow"))

@@ -1093,3 +1093,35 @@ def test_connected_components_public(ray_session):
            .to_pandas().sort_values("id").reset_index(drop=True))
     got = dict(zip(out.id, out.rep))
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20}
+
+
+def test_grouped_count_distinct(ray_session):
+    """Exact distinct counts survive cross-batch duplicates."""
+    import ray.data
+    from pdf_parser_ray.stages.relational import grouped_count_distinct
+    rows = ([{"k": "a", "v": i % 3} for i in range(30)]
+            + [{"k": "b", "v": 7}] * 5)
+    out = (grouped_count_distinct(
+        ray.data.from_items(rows).repartition(5), "k", "v", n_parts=4)
+        .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(out.k) == ["a", "b"]
+    assert list(out.n_distinct) == [3, 1]
+
+
+def test_pagerank(ray_session):
+    """Power iteration on a known 3-node graph matches hand arithmetic."""
+    import ray.data
+    from pdf_parser_ray.stages.graph import pagerank
+    # a -> b, a -> c, b -> c : outdeg a=2, b=1; c dangling
+    edges = ray.data.from_items(
+        [{"s": 1, "d": 2}, {"s": 1, "d": 3}, {"s": 2, "d": 3}])
+    out = pagerank(edges, "s", "d", iters=1)
+    r = dict(zip(out.node, out["rank"]))
+    assert abs(r[1] - 0.15) < 1e-12                       # no in-edges
+    assert abs(r[2] - (0.15 + 0.85 * 0.5)) < 1e-12        # from a
+    assert abs(r[3] - (0.15 + 0.85 * 1.5)) < 1e-12        # from a and b
+    out2 = pagerank(edges, "s", "d", iters=2)
+    r2 = dict(zip(out2.node, out2["rank"]))
+    # second pass: r2(c) = 0.15 + 0.85*(r1(a)/2 + r1(b)/1)
+    expect = 0.15 + 0.85 * (r[1] / 2 + r[2])
+    assert abs(r2[3] - expect) < 1e-12
