@@ -122,12 +122,20 @@ def test_chunk_notes_partition(text, limit):
 
 
 @settings(max_examples=50, deadline=None)
-@given(st.lists(st.floats(-100, 100, allow_nan=False), min_size=8,
-                max_size=8))
+@given(st.lists(st.one_of(st.just(0.0),
+                          st.floats(1e-6, 100),
+                          st.floats(-100, -1e-6)),
+                min_size=8, max_size=8))
 def test_srp_sign_invariance(vec):
     """SRP band keys are invariant under exact (power-of-two) positive
     scaling — the property that makes recall deterministic for
-    cosine-identical duplicates. (Inexact scales can flip the sign of a
+    cosine-identical duplicates. Stated for NORMAL-range components:
+    hypothesis found that a subnormal component (5e-324) breaks it,
+    because round(x*p) can flush to +-0 while round(4x*p) stays nonzero
+    — power-of-two scaling only commutes with rounding when no
+    intermediate underflows. Real embeddings are normal-range, so the
+    production recall guarantee is unaffected.
+    (Inexact scales can flip the sign of a
     projection that lands within float epsilon of zero, so the guarantee
     is stated for exactly-representable scalings, which covers the
     doubled-corpus duplicate construction.)"""
