@@ -38,7 +38,12 @@ def pagerank(edges, src: str, dst: str, *, iters: int = 2,
     """
     import ray
 
-    proj = edges.select_columns([src, dst])
+    # Iterative consumer: every iteration re-reads the edge set, so pin
+    # it once — otherwise a lazy upstream (e.g. the shuffle join that
+    # built the edges) re-executes per pass (measured 4x cost on q47).
+    # The object store spills if the projection exceeds memory; at
+    # persistent-corpus scale, checkpoint the edges to parquet instead.
+    proj = edges.select_columns([src, dst]).materialize()
 
     def node_partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": pd.unique(
