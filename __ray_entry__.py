@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q45_connected_components": Q.q45_connected_components,
         "q46_daily_active": Q.q46_daily_active,
         "q47_pagerank": Q.q47_pagerank,
+        "q48_incremental_dedup": Q.q48_incremental_dedup,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -612,6 +613,13 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY n.node)
             SELECT CAST(node AS BIGINT) AS node, ROUND(rank, 6) AS rank
             FROM r2 ORDER BY node""",
+        "q48_incremental_dedup": f"""
+            WITH fp AS (
+              SELECT doc_id, {_FP} AS fingerprint FROM documents)
+            SELECT n.doc_id + 10000000 AS doc_id,
+                   CAST(MIN(t.doc_id) AS BIGINT) AS match_id
+            FROM fp n JOIN fp t USING (fingerprint)
+            GROUP BY 1 ORDER BY 1""",
         "q60_train_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)

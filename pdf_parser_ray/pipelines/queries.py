@@ -897,6 +897,28 @@ def q47_pagerank(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q48_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental ingest dedup: build the persisted fingerprint index
+    over the corpus once, then check a NEW shard (the same docs re-keyed
+    +10^7, i.e. guaranteed exact dups) against it reading only touched
+    index buckets."""
+    import tempfile
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    index_dir = tempfile.mkdtemp(prefix="fpindex_")
+    D.build_fingerprint_index(ds, "doc_id", "text", index_dir)
+
+    def rekey(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["doc_id"] = (out["doc_id"] + 10_000_000).astype("int64")
+        return out
+
+    new_ds = ds.map_batches(rekey, batch_format="pandas")
+    out = D.dedup_against_index(new_ds, index_dir, "doc_id", "text")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
 SAMPLE_DEFAULT = 0.125
 

@@ -1010,3 +1010,101 @@ def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
     return cluster_pairs_dataset(_pairs_dataset(verified),
                                  _ids_dataset(ds, id_col, ids), id_col,
                                  n_parts=n_parts)
+
+
+# ---------------------------------------------------------------------------
+# Persisted fingerprint index — incremental (new-shard vs corpus) dedup
+# ---------------------------------------------------------------------------
+
+
+def build_fingerprint_index(ds, id_col: str, text_col: str,
+                            index_dir: str, *, n_buckets: int = 64,
+                            batch_size: int = 1024) -> str:
+    """Persist the corpus's exact-dedup keys as a bucketed parquet index
+    so NEW shards can be deduped against the corpus without rescanning
+    it — the incremental-ingest twin of :func:`exact_dedup` (one-shot)
+    and the same build-once/probe-many layout as
+    ``similarity.IVFIndex`` (`fp_part=` hive dirs, pruned reads).
+
+    Rows (fingerprint, id) land in bucket ``int(fp[:4], 16) %
+    n_buckets``; only these two columns are stored, so the index is
+    O(corpus ids), not O(payloads). At web scale the index is appended
+    per ingest wave — buckets are disjoint by construction, so appends
+    never rewrite existing files.
+    """
+    import ray.data
+
+    from .textstats import add_fingerprint
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        out = add_fingerprint(df, text_col)[[id_col, "fingerprint"]]
+        out["fp_part"] = (out["fingerprint"].str[:4]
+                          .apply(lambda h: int(h, 16) % n_buckets)
+                          .astype("int64"))
+        return out
+
+    (ds.select_columns([id_col, text_col])
+     .map_batches(fp, batch_format="pandas", batch_size=batch_size)
+     .write_parquet(f"local://{index_dir}", partition_cols=["fp_part"]))
+    return index_dir
+
+
+def dedup_against_index(new_ds, index_dir: str, id_col: str,
+                        text_col: str, *, n_buckets: int = 64,
+                        batch_size: int = 1024) -> pd.DataFrame:
+    """Check a NEW shard against a :func:`build_fingerprint_index`
+    corpus index: returns (id, match_id) for every new doc whose
+    fingerprint already exists (match_id = smallest indexed id). Only
+    index buckets actually touched by the new shard's fingerprints are
+    read — a new wave that is small or skewed prunes most of the index
+    from disk, and the join itself is the coarsened big-to-big
+    ``shuffle_join`` on the fingerprint, so neither side is collected.
+    """
+    import os
+
+    import ray.data
+
+    from .relational import shuffle_join
+    from .textstats import add_fingerprint
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        out = add_fingerprint(df, text_col)[[id_col, "fingerprint"]]
+        out["fp_part"] = (out["fingerprint"].str[:4]
+                          .apply(lambda h: int(h, 16) % n_buckets)
+                          .astype("int64"))
+        return out
+
+    new_fp = (new_ds.select_columns([id_col, text_col])
+              .map_batches(fp, batch_format="pandas",
+                           batch_size=batch_size)).materialize()
+
+    touched = set(
+        new_fp.select_columns(["fp_part"]).unique("fp_part"))
+    paths = [os.path.join(index_dir, f"fp_part={b}")
+             for b in sorted(touched)
+             if os.path.isdir(os.path.join(index_dir, f"fp_part={b}"))]
+    if not paths:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "match_id": pd.Series([], dtype="int64")})
+    files = [os.path.join(p, f) for p in paths
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    idx = ray.data.read_parquet(files).map_batches(
+        lambda df: df.rename(columns={id_col: "idx_id"})
+                     [["fingerprint", "idx_id"]],
+        batch_format="pandas")
+
+    joined = shuffle_join(new_fp.drop_columns(["fp_part"]), idx,
+                          left_on="fingerprint")
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(id_col, sort=False)["idx_id"].min()
+             .rename("match_id").reset_index())
+        g["match_id"] = g["match_id"].astype("int64")
+        return g
+
+    parts = joined.map_batches(best, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "match_id": pd.Series([], dtype="int64")})
+    return (parts.groupby(id_col, sort=True)["match_id"].min()
+            .astype("int64").reset_index())

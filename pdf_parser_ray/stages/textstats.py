@@ -674,7 +674,11 @@ def pack_documents(ds, id_col: str, text_col: str = "text", *,
 
     One shuffle on the bounded shard key (``n_shards`` groups, each a
     vectorized sort + shifted cumsum); the text column is dropped before
-    the shuffle — only (id, shard, n_tokens) rows move.
+    the shuffle — only (id, shard, n_tokens) rows move. A shard is
+    sorted as ONE in-memory frame, so size ``n_shards`` to the corpus:
+    rows/n_shards × ~24 bytes must fit a worker's heap (10^5-10^6
+    shards at web scale — the shard id doubles as the output-file key,
+    so more shards also means better write parallelism).
     """
     def prep(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({id_col: df[id_col]})

@@ -1125,3 +1125,22 @@ def test_pagerank(ray_session):
     # second pass: r2(c) = 0.15 + 0.85*(r1(a)/2 + r1(b)/1)
     expect = 0.15 + 0.85 * (r[1] / 2 + r[2])
     assert abs(r2[3] - expect) < 1e-12
+
+
+def test_fingerprint_index_incremental(ray_session, tmp_path):
+    """Index build + pruned-bucket probe: dups matched to the smallest
+    indexed id, novel docs absent, untouched buckets unread."""
+    import ray.data
+    from pdf_parser_ray.stages.dedup import (build_fingerprint_index,
+                                             dedup_against_index)
+    corpus = [{"doc_id": 1, "text": "alpha beta"},
+              {"doc_id": 2, "text": "alpha  BETA "},  # same normalized fp
+              {"doc_id": 3, "text": "gamma delta"}]
+    idx = str(tmp_path / "fpidx")
+    build_fingerprint_index(ray.data.from_items(corpus), "doc_id",
+                            "text", idx, n_buckets=8)
+    new = [{"doc_id": 100, "text": "ALPHA beta"},   # dup of 1/2 -> min 1
+           {"doc_id": 101, "text": "novel words"}]
+    out = dedup_against_index(ray.data.from_items(new), idx,
+                              "doc_id", "text", n_buckets=8)
+    assert dict(zip(out.doc_id, out.match_id)) == {100: 1}
