@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q46_daily_active": Q.q46_daily_active,
         "q47_pagerank": Q.q47_pagerank,
         "q48_incremental_dedup": Q.q48_incremental_dedup,
+        "q49_corpus_pipeline": Q.q49_corpus_pipeline,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -620,6 +621,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(t.doc_id) AS BIGINT) AS match_id
             FROM fp n JOIN fp t USING (fingerprint)
             GROUP BY 1 ORDER BY 1""",
+        "q49_corpus_pipeline": f"""
+            WITH s AS (
+              SELECT doc_id, lang, {_TOKEN_CNT} AS token_cnt,
+                     length(text) AS char_cnt,
+                     {_PUNCT_CNT} AS punct_cnt,
+                     {_FP} AS fingerprint
+              FROM documents),
+            good AS (
+              SELECT * FROM s
+              WHERE token_cnt >= 20 AND char_cnt >= 100
+                AND char_cnt <= 20000
+                AND punct_cnt * 4 <= token_cnt * 3),
+            ded AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY fingerprint ORDER BY doc_id) AS rn
+                FROM good) WHERE rn = 1),
+            c AS (SELECT lang, COUNT(*) AS n FROM ded GROUP BY 1),
+            r AS (
+              SELECT lang,
+                     SQRT((SELECT MIN(n) FROM c) / CAST(n AS DOUBLE))
+                         AS rate
+              FROM c),
+            samp AS (
+              SELECT d.* FROM ded d JOIN r USING (lang)
+              WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                         1, 8)) AS UBIGINT)
+                    / 4294967296.0 < r.rate),
+            train AS (
+              SELECT * FROM samp
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                    < 'e666'),
+            t AS (
+              SELECT doc_id,
+                     CAST(CAST(('0x' || substr(md5(CAST(doc_id
+                              AS VARCHAR)), 1, 8)) AS UBIGINT) % 16
+                          AS BIGINT) AS shard,
+                     CAST(token_cnt AS BIGINT) AS n_tokens
+              FROM train)
+            SELECT doc_id, shard, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) // 256 AS BIGINT)
+                       AS pack_id
+            FROM t ORDER BY doc_id""",
         "q60_train_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)

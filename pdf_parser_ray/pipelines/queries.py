@@ -919,6 +919,31 @@ def q48_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q49_corpus_pipeline(sf_dir: str) -> pd.DataFrame:
+    """The end-to-end LLM-corpus pipeline as ONE streaming composition —
+    quality filter → exact dedup → temperature rebalancing → train
+    split → token-budget packing — every stage of which is individually
+    oracle-checked (q12/q20/q41/q60/q44), here chained so the oracle
+    validates the whole data flow including stage interactions (e.g.
+    sampling rates computed on the deduped counts)."""
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "text"])
+    stats = TS.text_stats_dataset(ds)
+    good = stats.filter(expr="is_quality == 1").select_columns(
+        ["doc_id", "lang", "text", "fingerprint"])
+    deduped = D.exact_dedup(good, "fingerprint", "doc_id",
+                            keep_cols=["lang", "text"])
+    sampled = TS.temperature_sample(deduped, "doc_id", "lang",
+                                    alpha=0.5)
+    train = TS.filter_split(sampled, "doc_id", {"train"})
+    out = TS.pack_documents(train, "doc_id", "text", budget=256,
+                            n_shards=16).to_pandas()
+    for c in ("doc_id", "shard", "n_tokens", "pack_id"):
+        out[c] = out[c].astype("int64")
+    return (out[["doc_id", "shard", "n_tokens", "pack_id"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
 SAMPLE_DEFAULT = 0.125
 
