@@ -82,6 +82,37 @@ def cmd_qa(args) -> int:
         ray.shutdown()
 
 
+def cmd_query(args) -> int:
+    """Run one named pipeline from the query surface over a testdata
+    dir; print row count + head, optionally write the result parquet."""
+    import ray
+
+    from .pipelines import queries as Q
+
+    fns = {n: f for n, f in vars(Q).items()
+           if n.startswith("q") and n[1:2].isdigit() and callable(f)}
+    if args.name not in fns:
+        names = ", ".join(sorted(fns))
+        print(f"unknown query {args.name!r}; available: {names}",
+              file=sys.stderr)
+        return 2
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False)
+    try:
+        out = fns[args.name](args.sf_dir)
+        if hasattr(out, "to_pandas"):
+            out = out.to_pandas()
+        print(f"{args.name}: {len(out)} rows", file=sys.stderr)
+        print(out.head(args.head).to_string())
+        if args.out:
+            out.to_parquet(args.out, index=False)
+            print(f"written to {args.out}", file=sys.stderr)
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pdf_parser_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -113,6 +144,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="write a markdown report file")
     p.add_argument("--max-docs", type=int, default=None)
     p.set_defaults(fn=cmd_qa)
+
+    p = sub.add_parser("query", help="run one named pipeline (q01..q65)")
+    p.add_argument("name", help="query name, e.g. q35_decontaminate")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--out", default=None, help="write result parquet")
+    p.add_argument("--head", type=int, default=10)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)
     return args.fn(args)
