@@ -33,6 +33,56 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decoder for binary PPM (P6, maxval<=255): header parse +
+    zero-copy ``np.frombuffer`` into an (h, w, 3) uint8 array. PPM needs
+    no codec library, so this path exercises the full decode→resize→
+    featurize pipeline genuinely; compressed formats (JPEG/PNG) still
+    route to the stub until PIL/opencv exists in the environment."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":          # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1                                      # single whitespace byte
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    n = w * h * 3
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return w, h, arr.reshape(h, w, 3)
+
+
+def _resize_nn(img: np.ndarray, to_w: int, to_h: int) -> np.ndarray:
+    """Nearest-neighbor resize by index grids — pure numpy."""
+    h, w = img.shape[:2]
+    ys = (np.arange(to_h) * h // to_h).clip(0, h - 1)
+    xs = (np.arange(to_w) * w // to_w).clip(0, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def _image_features(img: np.ndarray, dim: int = 64) -> np.ndarray:
+    """Real 64-dim feature: 4x4 grid of per-cell RGB means (48 dims) +
+    16-bin grayscale histogram (fraction mass), all in [0, 1]."""
+    g = _resize_nn(img, 4, 4).astype(np.float32) / 255.0
+    grid = g.reshape(-1)                          # 4*4*3 = 48
+    gray = img.astype(np.float32).mean(axis=2)
+    hist, _ = np.histogram(gray, bins=16, range=(0.0, 255.0))
+    hist = hist.astype(np.float32) / max(1, gray.size)
+    feat = np.concatenate([grid, hist])
+    if len(feat) < dim:
+        feat = np.pad(feat, (0, dim - len(feat)))
+    return feat[:dim].astype(np.float32)
+
+
 class DecodeImages:
     """Actor UDF: binary column → (width, height, mime, feature vector).
 
@@ -47,10 +97,24 @@ class DecodeImages:
         self.resize_to = resize_to
 
     def _decode(self, payload: bytes) -> dict:
+        if (payload or b"").startswith(b"P6"):
+            # real path: PPM decodes with numpy alone (both modes)
+            w, hgt, img = decode_ppm(payload)
+            resized = _resize_nn(img, *self.resize_to)
+            return {
+                "mime": "image/x-portable-pixmap",
+                "width": w,
+                "height": hgt,
+                "resized_w": resized.shape[1],
+                "resized_h": resized.shape[0],
+                "features": _image_features(
+                    img, self.feature_dim).tolist(),
+            }
         if self.mode == STRICT:
             raise NotImplementedError(
-                "image decode requires PIL/opencv — not available in this "
-                "container; integration point: DecodeImages._decode")
+                "compressed-image decode requires PIL/opencv — not "
+                "available in this container; integration point: "
+                "DecodeImages._decode (PPM already decodes for real)")
         h = hashlib.md5(payload or b"").digest()
         return {
             "mime": "image/fake",

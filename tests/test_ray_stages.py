@@ -1144,3 +1144,30 @@ def test_fingerprint_index_incremental(ray_session, tmp_path):
     out = dedup_against_index(ray.data.from_items(new), idx,
                               "doc_id", "text", n_buckets=8)
     assert dict(zip(out.doc_id, out.match_id)) == {100: 1}
+
+
+def test_decode_ppm_real(ray_session):
+    """PPM payloads decode for REAL through the actor-pool stage: true
+    dimensions, resize, and content-derived features (strict mode)."""
+    import ray.data
+    from pdf_parser_ray.stages.multimodal import decode_media_dataset
+    # 8x6 solid-red P6 with a header comment
+    w, h = 8, 6
+    red = bytes([200, 10, 10]) * (w * h)
+    ppm = b"P6\n# test image\n%d %d\n255\n" % (w, h) + red
+    ds = ray.data.from_items([{"media_id": 1, "payload": ppm}])
+    out = decode_media_dataset(ds, mode="strict").to_pandas()
+    r = out.iloc[0]
+    assert (r.mime, r.width, r.height) == ("image/x-portable-pixmap", 8, 6)
+    assert (r.resized_w, r.resized_h) == (224, 224)
+    f = np.array(r.features)
+    # 48 grid dims: solid color -> every cell mean == color/255
+    assert np.allclose(f[:48:3], 200 / 255, atol=1e-6)
+    assert np.allclose(f[1:48:3], 10 / 255, atol=1e-6)
+    # histogram mass concentrated in one gray bin, sums to 1
+    assert abs(f[48:].sum() - 1.0) < 1e-6 and f[48:].max() == 1.0
+    # non-PPM payload in strict mode still raises through the pool
+    import pytest as _pt
+    bad = ray.data.from_items([{"media_id": 2, "payload": b"\xff\xd8JPEG"}])
+    with _pt.raises(Exception):
+        decode_media_dataset(bad, mode="strict").to_pandas()
