@@ -134,6 +134,99 @@ class DecodeImages:
         return out
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decoder for RIFF/WAV PCM via the stdlib ``wave`` module —
+    no codec library needed. Returns (sample_rate, n_channels, mono
+    float32 samples in [-1, 1]). 8/16/32-bit integer PCM supported."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype=np.int32).astype(np.float32) / 2**31
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return rate, nch, x
+
+
+def _audio_features(x: np.ndarray, rate: int, dim: int = 32) -> np.ndarray:
+    """Real 32-dim audio feature: RMS, zero-crossing rate, then 30
+    log-magnitude rFFT bands (mean-pooled) — numpy only."""
+    if not len(x):
+        return np.zeros(dim, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    mag = np.abs(np.fft.rfft(x))
+    bands = np.array_split(mag, dim - 2)
+    spec = np.log1p(np.array([b.mean() if len(b) else 0.0
+                              for b in bands], dtype=np.float64))
+    return np.concatenate([[rms, zcr], spec]).astype(np.float32)[:dim]
+
+
+class DecodeAudio:
+    """Actor UDF: binary column → (sample_rate, channels, duration_sec,
+    feature vector). WAV PCM decodes FOR REAL (stdlib wave + numpy);
+    compressed audio (mp3/ogg/flac) routes to the deterministic fake or
+    raises in strict mode — integration point for torchaudio/pyav."""
+
+    def __init__(self, payload_col: str = "payload",
+                 mode: str = DETERMINISTIC_FAKE, feature_dim: int = 32):
+        self.payload_col = payload_col
+        self.mode = mode
+        self.feature_dim = feature_dim
+
+    def _decode(self, payload: bytes) -> dict:
+        if (payload or b"").startswith(b"RIFF"):
+            rate, nch, x = decode_wav(payload)
+            return {"mime": "audio/wav", "sample_rate": rate,
+                    "channels": nch,
+                    "duration_sec": float(len(x)) / rate if rate else 0.0,
+                    "features": _audio_features(
+                        x, rate, self.feature_dim).tolist()}
+        if self.mode == STRICT:
+            raise NotImplementedError(
+                "compressed-audio decode requires torchaudio/pyav — "
+                "integration point: DecodeAudio._decode (WAV already "
+                "decodes for real)")
+        h = hashlib.md5(payload or b"").digest()
+        return {"mime": "audio/fake", "sample_rate": 8000 * (1 + h[0] % 5),
+                "channels": 1 + h[1] % 2,
+                "duration_sec": float(h[2]) / 8.0,
+                "features": _fake_features(
+                    payload, self.feature_dim).tolist()}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        metas = [self._decode(p) for p in df[self.payload_col]]
+        out = df.drop(columns=[self.payload_col]).copy()
+        for key in ("mime", "sample_rate", "channels", "duration_sec"):
+            out[key] = [m[key] for m in metas]
+        out["features"] = [m["features"] for m in metas]
+        return out
+
+
+def decode_audio_dataset(ds, payload_col: str = "payload", *,
+                         batch_size: int = 8, concurrency=(1, 4),
+                         mode: str = DETERMINISTIC_FAKE,
+                         feature_dim: int = 32):
+    return ds.map_batches(
+        DecodeAudio,
+        fn_constructor_kwargs={"payload_col": payload_col, "mode": mode,
+                               "feature_dim": feature_dim},
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency)
+
+
 class SampleFrames:
     """Actor UDF for video payloads: emit ``n_frames`` stable frame rows per
     input (flat_map shape: one input row → many frame rows)."""

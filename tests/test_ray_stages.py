@@ -1171,3 +1171,30 @@ def test_decode_ppm_real(ray_session):
     bad = ray.data.from_items([{"media_id": 2, "payload": b"\xff\xd8JPEG"}])
     with _pt.raises(Exception):
         decode_media_dataset(bad, mode="strict").to_pandas()
+
+
+def test_decode_wav_real(ray_session):
+    """WAV PCM decodes for REAL through the actor pool: true rate,
+    duration and signal-derived features (strict mode)."""
+    import io
+    import wave
+
+    import ray.data
+    from pdf_parser_ray.stages.multimodal import decode_audio_dataset
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t / rate) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(sig.tobytes())
+    ds = ray.data.from_items([{"media_id": 1, "payload": buf.getvalue()}])
+    out = decode_audio_dataset(ds, mode="strict").to_pandas()
+    r = out.iloc[0]
+    assert (r.mime, r.sample_rate, r.channels) == ("audio/wav", 8000, 1)
+    assert abs(r.duration_sec - 1.0) < 1e-9
+    f = np.array(r.features)
+    assert abs(f[0] - 0.5 / np.sqrt(2)) < 0.01      # RMS of a sine
+    assert len(f) == 32 and f[2:].max() > 0          # spectral mass
