@@ -130,7 +130,14 @@ def winnow_fingerprints(text: str, k: int = 3, w: int = 4) -> list[str]:
     md5 each word k-gram, slide a w-window keeping each window's minimum,
     return the sorted distinct minima. md5-hex minima make the selection
     SQL-expressible (lexicographic MIN over VARCHAR) so the oracle can
-    replicate it exactly. Docs with < k tokens have no fingerprint."""
+    replicate it exactly. Docs with < k tokens have no fingerprint.
+
+    The per-k-gram md5 loop is a deliberate trade: swapping to the
+    vectorized Arrow-buffer hash (``dedup._hash_strings_vec``) would
+    require porting the same splitmix64 arithmetic into the q14 oracle
+    SQL (HUGEINT mod-2^64 emulation — DuckDB overflows on 64x64-bit
+    multiply), and q14 measures under 1 s at sf0.1, so the oracle
+    stability is worth more than the speedup."""
     import hashlib
 
     toks = text.split()
