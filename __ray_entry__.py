@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q45_connected_components": Q.q45_connected_components,
         "q46_daily_active": Q.q46_daily_active,
         "q47_pagerank": Q.q47_pagerank,
+        "q66_pagerank_distributed": Q.q66_pagerank_distributed,
         "q48_incremental_dedup": Q.q48_incremental_dedup,
         "q49_corpus_pipeline": Q.q49_corpus_pipeline,
         # dedup family
@@ -587,6 +588,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY 1 ORDER BY 1""",
         "q47_pagerank": """
+            WITH e AS (
+              SELECT o_custkey AS src,
+                     l_suppkey + 1000000000 AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            nodes AS (
+              SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+            deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+            r1 AS (
+              SELECT n.node,
+                     0.15 + 0.85 * COALESCE(SUM(1.0 / d.outdeg), 0)
+                         AS rank
+              FROM nodes n
+              LEFT JOIN e ON e.dst = n.node
+              LEFT JOIN deg d ON e.src = d.src
+              GROUP BY n.node),
+            r2 AS (
+              SELECT n.node,
+                     0.15 + 0.85 * COALESCE(SUM(r1.rank / d.outdeg), 0)
+                         AS rank
+              FROM nodes n
+              LEFT JOIN e ON e.dst = n.node
+              LEFT JOIN deg d ON e.src = d.src
+              LEFT JOIN r1 ON r1.node = e.src
+              GROUP BY n.node)
+            SELECT CAST(node AS BIGINT) AS node, ROUND(rank, 6) AS rank
+            FROM r2 ORDER BY node""",
+        # identical SQL to q47 by design: the driver thereby pins the
+        # driver-dict and Dataset-join PageRank modes hash-equal.
+        "q66_pagerank_distributed": """
             WITH e AS (
               SELECT o_custkey AS src,
                      l_suppkey + 1000000000 AS dst

@@ -874,11 +874,12 @@ def q46_daily_active(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("day").reset_index(drop=True)
 
 
-def q47_pagerank(sf_dir: str) -> pd.DataFrame:
-    """PageRank (2 power iterations) over the customer→supplier link
-    graph induced by orders⋈lineitem; edges built with the big-to-big
-    shuffle join, supplier ids offset into their own namespace."""
-    from ..stages.graph import pagerank
+def _pagerank_edges(sf_dir: str):
+    """The customer→supplier link graph induced by orders⋈lineitem;
+    edges built with the big-to-big shuffle join, supplier ids offset
+    into their own namespace. Shared by q47 (driver-mode rank table)
+    and q66 (distributed rank table) so both modes face the identical
+    graph and oracle."""
     orders = _read(sf_dir, "orders").select_columns(
         ["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem").select_columns(
@@ -891,8 +892,28 @@ def q47_pagerank(sf_dir: str) -> pd.DataFrame:
             "src": df["o_custkey"].astype("int64"),
             "dst": (df["l_suppkey"] + 1_000_000_000).astype("int64")})
 
-    edges = joined.map_batches(to_edges, batch_format="pandas")
-    out = pagerank(edges, "src", "dst", iters=2, damping=0.85)
+    return joined.map_batches(to_edges, batch_format="pandas")
+
+
+def q47_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank (2 power iterations), driver-mode rank table (the
+    cheap path while the node table fits; auto-gated)."""
+    from ..stages.graph import pagerank
+    out = pagerank(_pagerank_edges(sf_dir), "src", "dst",
+                   iters=2, damping=0.85, mode="driver")
+    out["rank"] = out["rank"].round(6)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q66_pagerank_distributed(sf_dir: str) -> pd.DataFrame:
+    """Same PageRank, rank table as a Dataset: each iteration is a
+    shuffle_join(edges, weights, on=src) + coarsened groupby(dst) fold
+    + left join back onto the node table — no O(nodes) driver state
+    (the 10^9-node web-graph path). Same oracle as q47, so the driver
+    pins both execution modes hash-equal."""
+    from ..stages.graph import pagerank
+    out = pagerank(_pagerank_edges(sf_dir), "src", "dst",
+                   iters=2, damping=0.85, mode="distributed")
     out["rank"] = out["rank"].round(6)
     return out.sort_values("node").reset_index(drop=True)
 

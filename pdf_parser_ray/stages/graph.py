@@ -5,38 +5,164 @@ Connected components lives in ``stages/dedup.py:cluster_pairs_dataset``
 holds the rank-propagation family. The shared discipline: edges stream
 through ``map_batches`` and reduce to per-node partials — the edge set
 itself is never collected.
+
+Two PageRank execution modes share one iteration semantics (identical
+float op order up to summation grouping, identical at the 6-dp rounding
+every caller applies):
+
+- ``driver``: the rank/outdegree table lives in driver dicts broadcast
+  per iteration (``ray.put``). O(nodes) driver memory — right up to the
+  ~10^7-node range where a dict is cheaper than two shuffles/iteration.
+- ``distributed``: the rank table IS a Dataset; each iteration is a
+  ``shuffle_join`` of edges with the weight table on src, a coarsened
+  ``groupby(dst)`` contribution fold, and a left ``shuffle_join`` back
+  onto the node table — no O(nodes) driver allocation anywhere, the
+  10^9-10^10-node web-graph path.
+
+``mode="auto"`` gates on the materialized edge count, the same pattern
+as ``dedup.DRIVER_CLUSTER_MAX_PAIRS``.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+# Auto-mode gate: above this many edges the node table is assumed too
+# big for driver dicts (nodes <= 2*edges; ~100 B/dict entry puts 5M
+# edges at <=1 GB driver heap worst case). Force with mode=.
+DRIVER_PAGERANK_MAX_EDGES = 5_000_000
+
+
+def _grouped_sum_ds(ds, key: str, val: str, *, n_parts: int,
+                    batch_size: int):
+    """(key, val) rows → one (key, sum(val)) row per key, as a Dataset.
+
+    Per-batch pandas partials prune the exchange; one coarsened
+    ``groupby(key-hash)`` shuffle co-locates each key's partials and a
+    vectorized in-partition fold finishes (the pre-aggregate pattern —
+    never one map_groups call per key)."""
+    from .relational import add_coarse_part
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key, sort=False)[val].sum().reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=batch_size)
+
+    def combine(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        out = df.groupby(key, sort=False)[val].sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (add_coarse_part(parts, key, n_parts)
+            .groupby("_kpart").map_groups(combine, batch_format="pyarrow"))
+
+
+def _pagerank_distributed(proj, src: str, dst: str, *, iters: int,
+                          damping: float, batch_size: int, n_parts: int):
+    """Dataset-native power iteration; returns a (node, outdeg, rank)
+    Dataset. ``proj`` must be the materialized (src, dst) projection —
+    it is consumed ``iters``+1 times."""
+    from .relational import shuffle_join
+
+    def node_deg(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(src, sort=False).size().rename("outdeg")
+             .reset_index().rename(columns={src: "node"}))
+        d = pd.DataFrame({"node": pd.unique(df[dst].to_numpy()),
+                          "outdeg": 0})
+        out = pd.concat([g, d], ignore_index=True)
+        out["node"] = out["node"].astype("int64")
+        out["outdeg"] = out["outdeg"].astype("int64")
+        return out
+
+    nodes = _grouped_sum_ds(
+        proj.map_batches(node_deg, batch_format="pandas",
+                         batch_size=batch_size),
+        "node", "outdeg", n_parts=n_parts, batch_size=batch_size)
+
+    def init_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rank"] = 1.0
+        return df
+
+    # materialize per iteration: each pass is consumed by two joins and
+    # the next state derives from it — leaving it lazy re-executes the
+    # whole chain per consumer (the q47 lazy-edge lesson).
+    state = nodes.map_batches(init_rank,
+                              batch_format="pandas").materialize()
+
+    for _ in range(iters):
+        def weight(df: pd.DataFrame) -> pd.DataFrame:
+            m = df[df["outdeg"] > 0]
+            return pd.DataFrame({
+                "node": m["node"].astype("int64"),
+                "w": m["rank"].to_numpy(np.float64)
+                     / m["outdeg"].to_numpy(np.float64)})
+
+        wtab = state.map_batches(weight, batch_format="pandas",
+                                 batch_size=batch_size)
+        hits = shuffle_join(proj, wtab, left_on=src, right_on="node",
+                            n_parts=n_parts, batch_size=batch_size)
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(dst, sort=False)["w"].sum().reset_index()
+            g = g.rename(columns={dst: "node", "w": "s"})
+            g["node"] = g["node"].astype("int64")
+            return g
+
+        sums = _grouped_sum_ds(
+            hits.map_batches(contrib, batch_format="pandas",
+                             batch_size=batch_size),
+            "node", "s", n_parts=n_parts, batch_size=batch_size)
+
+        upd = shuffle_join(state.select_columns(["node", "outdeg"]),
+                           sums, left_on="node", how="left",
+                           n_parts=n_parts, batch_size=batch_size)
+
+        def fold(df: pd.DataFrame, _d=damping) -> pd.DataFrame:
+            s = df["s"].fillna(0.0).to_numpy(np.float64)
+            return pd.DataFrame({
+                "node": df["node"].astype("int64"),
+                "outdeg": df["outdeg"].astype("int64"),
+                "rank": (1.0 - _d) + _d * s})
+
+        state = upd.map_batches(fold, batch_format="pandas",
+                                batch_size=batch_size).materialize()
+    return state
 
 
 def pagerank(edges, src: str, dst: str, *, iters: int = 2,
              damping: float = 0.85,
-             batch_size: int = 8192) -> pd.DataFrame:
+             batch_size: int = 8192,
+             mode: str = "auto",
+             n_parts: int = 32,
+             as_dataset: bool = False):
     """PageRank by power iteration over an edge Dataset (r0 = 1,
     dangling mass dropped — the original Google iteration):
 
         r_{t+1}(v) = (1 - d) + d * sum_{u->v} r_t(u) / outdeg(u)
 
-    Each iteration is ONE streaming pass over the edges: the current
-    rank/outdegree table is broadcast (``ray.put``), every batch maps
-    its edges to r(u)/outdeg(u) contributions and pre-aggregates them
-    per destination, and the per-batch partials merge on the driver.
-    Per-iteration driver state is O(nodes) — fine into the 10^8-node
-    range; past that the rank table itself becomes a Dataset and each
-    iteration is a ``shuffle_join`` of edges with ranks on src followed
-    by a coarsened groupby(dst) — same pass structure, documented here
-    as the 10^9-node path.
+    ``mode``: ``driver`` broadcasts the rank/outdegree dicts per
+    iteration (O(nodes) driver memory, cheapest while the node table
+    fits); ``distributed`` keeps the rank table as a Dataset and joins
+    per iteration (no O(nodes) driver state — the web-graph path);
+    ``auto`` picks by edge count against DRIVER_PAGERANK_MAX_EDGES.
+    Node ids must be integers.
 
     The damping multiply happens OUTSIDE the contribution sum
-    (0.15 + 0.85 * s) to match the SQL oracle's op order exactly.
+    (0.15 + 0.85 * s) in BOTH modes to match the SQL oracle's op order
+    exactly; the two modes differ only in float summation grouping
+    (identical after the 6-dp round callers apply).
 
-    Returns pandas (node, rank) over all nodes appearing as src or dst.
+    Returns pandas (node, rank) over all nodes appearing as src or dst,
+    or the (node, rank) Dataset when ``as_dataset`` (distributed only).
     """
     import ray
+
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown pagerank mode {mode}")
 
     # Iterative consumer: every iteration re-reads the edge set, so pin
     # it once — otherwise a lazy upstream (e.g. the shuffle join that
@@ -44,6 +170,24 @@ def pagerank(edges, src: str, dst: str, *, iters: int = 2,
     # The object store spills if the projection exceeds memory; at
     # persistent-corpus scale, checkpoint the edges to parquet instead.
     proj = edges.select_columns([src, dst]).materialize()
+
+    if mode == "auto":
+        mode = ("driver" if proj.count() <= DRIVER_PAGERANK_MAX_EDGES
+                else "distributed")
+
+    if mode == "distributed":
+        state = _pagerank_distributed(proj, src, dst, iters=iters,
+                                      damping=damping,
+                                      batch_size=batch_size,
+                                      n_parts=n_parts)
+        ranks_ds = state.select_columns(["node", "rank"])
+        if as_dataset:
+            return ranks_ds
+        return (ranks_ds.to_pandas().sort_values("node")
+                .reset_index(drop=True))
+
+    if as_dataset:
+        raise ValueError("as_dataset requires mode='distributed'")
 
     def node_partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": pd.unique(

@@ -1127,6 +1127,43 @@ def test_pagerank(ray_session):
     assert abs(r2[3] - expect) < 1e-12
 
 
+def test_pagerank_mode_parity(ray_session):
+    """Driver-dict and Dataset-join modes produce identical ranks (to
+    float noise far below the 6-dp rounding callers apply) on a random
+    graph with dangling nodes, multi-edges and rank-source-only nodes."""
+    import ray.data
+    from pdf_parser_ray.stages.graph import pagerank
+    rng = np.random.default_rng(7)
+    n = 400
+    src = rng.integers(0, n, 3000)
+    dst = rng.integers(0, n + 50, 3000)  # some dst-only (dangling) nodes
+    edges = ray.data.from_items(
+        [{"s": int(a), "d": int(b)} for a, b in zip(src, dst)]
+    ).repartition(8)
+    drv = pagerank(edges, "s", "d", iters=3, mode="driver")
+    dist = pagerank(edges, "s", "d", iters=3, mode="distributed",
+                    n_parts=8)
+    assert list(drv.node) == list(dist.node)
+    assert np.allclose(drv["rank"].to_numpy(), dist["rank"].to_numpy(),
+                       rtol=0, atol=1e-9)
+    # and the 6-dp view (what q47/q66 publish) is bit-identical
+    assert (drv["rank"].round(6) == dist["rank"].round(6)).all()
+
+
+def test_pagerank_distributed_as_dataset(ray_session):
+    """as_dataset returns the (node, rank) Dataset — no driver collect."""
+    import ray.data
+    from pdf_parser_ray.stages.graph import pagerank
+    edges = ray.data.from_items(
+        [{"s": 1, "d": 2}, {"s": 1, "d": 3}, {"s": 2, "d": 3}])
+    ds = pagerank(edges, "s", "d", iters=1, mode="distributed",
+                  n_parts=4, as_dataset=True)
+    out = ds.to_pandas().sort_values("node").reset_index(drop=True)
+    assert list(out.columns) == ["node", "rank"]
+    r = dict(zip(out.node, out["rank"]))
+    assert abs(r[3] - (0.15 + 0.85 * 1.5)) < 1e-12
+
+
 def test_fingerprint_index_incremental(ray_session, tmp_path):
     """Index build + pruned-bucket probe: dups matched to the smallest
     indexed id, novel docs absent, untouched buckets unread."""
