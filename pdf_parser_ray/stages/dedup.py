@@ -40,8 +40,10 @@ collects):
 * Skew note: a hot band bucket (e.g. a boilerplate-only band over a
   template-heavy crawl) concentrates in one partition. The coarsened key
   keeps partition sizes ~uniform for *distinct* keys; a single giant
-  bucket should be guarded upstream by exact-dedup first (templates are
-  exact dups) or by capping bucket size before pair emission.
+  bucket is guarded by :func:`bucket_pairs`'s ``max_bucket`` cap
+  (clique over the smallest ids + min-id star — O(M²+b) pairs, logged,
+  never O(b²)); exact-dedup first remains the cheaper upstream guard
+  when templates are exact dups.
 """
 
 from __future__ import annotations
@@ -238,12 +240,26 @@ def cluster_pairs(pairs: list[tuple], ids: list) -> dict:
     return {x: find(x) for x in parent}
 
 
-def bucket_pairs(keys: np.ndarray, ids: np.ndarray) -> np.ndarray:
+def bucket_pairs(keys: np.ndarray, ids: np.ndarray, *,
+                 max_bucket: int | None = 256) -> np.ndarray:
     """Unique candidate pairs (lo, hi) among rows sharing a key.
 
     Fully vectorized for the dominant size-2 buckets (sort → adjacent-equal
     mask); only buckets with >2 members hit a Python loop, and those are
-    rare by LSH design. Returns an (n, 2) int64 array."""
+    rare by LSH design. Returns an (n, 2) int64 array.
+
+    ``max_bucket`` bounds pair emission for hot buckets (the
+    template-heavy-crawl case: one boilerplate band key collecting 10^4+
+    docs would emit O(b²) pairs). A bucket with b > max_bucket unique
+    members emits the full clique over its ``max_bucket`` smallest ids
+    PLUS a star from the bucket minimum to every remaining member —
+    O(M² + b) pairs instead of O(b²), deterministic under any
+    partitioning (members are sorted ids). Connectivity of a true
+    template cluster survives (every member still reaches the hub; hub
+    edges verify when members are near-identical, which is what made
+    the bucket hot); the documented recall cost is spoke-spoke pairs
+    whose hub edge fails downstream verification. Clipped volume is
+    LOGGED, never silent. ``max_bucket=None`` disables the cap."""
     if len(keys) == 0:
         return np.empty((0, 2), dtype=np.int64)
     order = np.argsort(keys, kind="stable")
@@ -255,13 +271,35 @@ def bucket_pairs(keys: np.ndarray, ids: np.ndarray) -> np.ndarray:
     s2 = starts[sizes == 2]
     a = [i2[s2]]
     b = [i2[s2 + 1]]
+    clipped_buckets = 0
+    clipped_pairs = 0
     for bi in np.flatnonzero(sizes > 2):
         members = np.unique(i2[starts[bi]:starts[bi] + sizes[bi]])
         if len(members) < 2:
             continue
+        if max_bucket is not None and len(members) > max_bucket:
+            clipped_buckets += 1
+            full = len(members) * (len(members) - 1) // 2
+            head = members[:max_bucket]
+            xi, yi = np.triu_indices(len(head), k=1)
+            a.append(head[xi])
+            b.append(head[yi])
+            tail = members[max_bucket:]
+            a.append(np.full(len(tail), members[0], dtype=np.int64))
+            b.append(tail)
+            clipped_pairs += full - (len(xi) + len(tail))
+            continue
         xi, yi = np.triu_indices(len(members), k=1)
         a.append(members[xi])
         b.append(members[yi])
+    if clipped_buckets:
+        import logging
+        logging.getLogger(__name__).warning(
+            "bucket_pairs: capped %d hot bucket(s) at max_bucket=%d "
+            "(clique over smallest ids + min-id star); %d clique pairs "
+            "not emitted — spoke-spoke recall now rides on other bands "
+            "or downstream hub verification",
+            clipped_buckets, max_bucket, clipped_pairs)
     aa = np.concatenate(a)
     bb = np.concatenate(b)
     lo, hi = np.minimum(aa, bb), np.maximum(aa, bb)
@@ -687,12 +725,14 @@ def band_keys_from_sig(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
     return mixed ^ _mix64(band_idx.copy())
 
 
-def _minhash_verify_partition(id_col: str, num_perm: int, threshold: float):
+def _minhash_verify_partition(id_col: str, num_perm: int, threshold: float,
+                              max_bucket: int | None = 256):
     """Partition verifier: vectorized bucket-pair emission + signature-
     agreement estimate over the whole partition frame."""
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         pairs = bucket_pairs(group["band_key"].to_numpy(),
-                             group[id_col].to_numpy())
+                             group[id_col].to_numpy(),
+                             max_bucket=max_bucket)
         if len(pairs) == 0:
             return _EMPTY_PAIRS.copy()
         ids = group[id_col].to_numpy(dtype=np.int64)
@@ -747,7 +787,7 @@ def minhash_band_dataset(ds, text_col: str, id_col: str, *,
 def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
                       bands: int = 16, k: int = 3, threshold: float = 0.8,
                       concurrency=None, n_parts: int = 64,
-                      ids=None) -> pd.DataFrame:
+                      ids=None, max_bucket: int | None = 256) -> pd.DataFrame:
     """Full MinHash→LSH→verify→cluster pipeline, banded-shuffle shape.
 
     One pass over text (fused sig+banding) → ``groupby(band_part)`` shuffle
@@ -759,7 +799,7 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
         ds, text_col, id_col, num_perm=num_perm, bands=bands, k=k,
         n_parts=n_parts, concurrency=concurrency)
     pair_ds = band_ds.groupby("band_part").map_groups(
-        _minhash_verify_partition(id_col, num_perm, threshold),
+        _minhash_verify_partition(id_col, num_perm, threshold, max_bucket),
         batch_format="pandas")
     return cluster_pairs_dataset(pair_ds, _ids_dataset(ds, id_col, ids),
                                  id_col, n_parts=n_parts)
@@ -767,7 +807,7 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
 
 def minhash_candidate_pairs(ds, text_col: str, id_col: str, *,
                             num_perm: int = 64, bands: int = 16, k: int = 3,
-                            n_parts: int = 64,
+                            n_parts: int = 64, max_bucket: int | None = 256,
                             concurrency=(1, 4)) -> np.ndarray:
     """Candidate (a, b) pairs from LSH banding alone (threshold-free) —
     feeds exact verifiers (n-gram Jaccard)."""
@@ -777,7 +817,8 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str, *,
 
     def emit(group: pd.DataFrame) -> pd.DataFrame:
         pairs = bucket_pairs(group["band_key"].to_numpy(),
-                             group[id_col].to_numpy())
+                             group[id_col].to_numpy(),
+                             max_bucket=max_bucket)
         if len(pairs) == 0:
             return _EMPTY_PAIRS.copy()
         return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1]})
@@ -793,7 +834,7 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str, *,
 
 def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
                   n_bands: int = 4, n_parts: int = 64,
-                  ids=None) -> pd.DataFrame:
+                  ids=None, max_bucket: int | None = 256) -> pd.DataFrame:
     """SimHash banding, banded-shuffle shape: 64-bit sig split into
     ``n_bands`` chunks; rows sharing a chunk meet in a ``band_part``
     partition; full-hamming verification (≤ max_hamming) runs vectorized
@@ -822,7 +863,8 @@ def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         pairs = bucket_pairs(group["band_key"].to_numpy(),
-                             group[id_col].to_numpy())
+                             group[id_col].to_numpy(),
+                             max_bucket=max_bucket)
         if len(pairs) == 0:
             return _EMPTY_PAIRS.copy()
         ids = group[id_col].to_numpy(dtype=np.int64)
@@ -850,7 +892,7 @@ def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
 def ngram_jaccard_dedup(ds, text_col: str, id_col: str, *, k: int = 3,
                         threshold: float = 0.8, num_perm: int = 64,
                         bands: int = 16, n_parts: int = 64,
-                        ids=None) -> pd.DataFrame:
+                        ids=None, max_bucket: int | None = 256) -> pd.DataFrame:
     """Exact n-gram-Jaccard verification over MinHash-LSH candidates.
 
     One banding pass generates candidates; exact verification runs through
@@ -859,7 +901,8 @@ def ngram_jaccard_dedup(ds, text_col: str, id_col: str, *, k: int = 3,
     Neither texts nor shingle sets are ever collected wholesale. Returns
     an ``(id, rep)`` Dataset (distributed label propagation)."""
     cand = minhash_candidate_pairs(ds, text_col, id_col, num_perm=num_perm,
-                                   bands=bands, k=k, n_parts=n_parts)
+                                   bands=bands, k=k, n_parts=n_parts,
+                                   max_bucket=max_bucket)
 
     def payloads(sub: pd.DataFrame) -> list:
         return [shingle_hashes(t, k).tobytes()
@@ -947,7 +990,7 @@ def _srp_band_fn(df: pd.DataFrame, **kw) -> pd.DataFrame:
 def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
                     n_planes: int = 64, bands: int = 8,
                     n_parts: int = 64, concurrency=None,
-                    ids=None) -> pd.DataFrame:
+                    ids=None, max_bucket: int | None = 256) -> pd.DataFrame:
     """Near-dup by cosine ≥ threshold via SRP-LSH banding + distributed
     exact-cosine verification (r2: replaces the r1 O(N²) broadcast matmul;
     no full-matrix ``ray.put`` anywhere).
@@ -979,7 +1022,8 @@ def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
 
     def emit(group: pd.DataFrame) -> pd.DataFrame:
         pairs = bucket_pairs(group["band_key"].to_numpy(),
-                             group[id_col].to_numpy())
+                             group[id_col].to_numpy(),
+                             max_bucket=max_bucket)
         if len(pairs) == 0:
             return _EMPTY_PAIRS.copy()
         ids = group[id_col].to_numpy(dtype=np.int64)

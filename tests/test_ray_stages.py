@@ -1164,6 +1164,50 @@ def test_pagerank_distributed_as_dataset(ray_session):
     assert abs(r[3] - (0.15 + 0.85 * 1.5)) < 1e-12
 
 
+def test_bucket_pairs_hot_bucket_cap():
+    """10k ids sharing ONE band key emit O(M² + b) pairs (clique over the
+    M smallest + min-id star), never O(b²); every member stays connected
+    to the bucket minimum; uncapped mode still yields the full clique."""
+    from pdf_parser_ray.stages.dedup import bucket_pairs
+    b, m = 10_000, 16
+    keys = np.zeros(b, dtype=np.uint64)
+    ids = np.arange(b, dtype=np.int64)
+    got = bucket_pairs(keys, ids, max_bucket=m)
+    assert len(got) == m * (m - 1) // 2 + (b - m)
+    # connectivity: all ids appear, and every id > 0 pairs with id 0 or
+    # with a clique member (which pairs with 0)
+    assert set(np.unique(got)) == set(range(b))
+    star = got[got[:, 0] == 0]
+    assert set(star[:, 1]) >= set(range(m, b))
+    # small bucket unaffected by the cap
+    small = bucket_pairs(np.zeros(5, dtype=np.uint64),
+                         np.arange(5, dtype=np.int64), max_bucket=16)
+    assert len(small) == 10
+    # cap disabled -> full clique on a mid-size bucket
+    full = bucket_pairs(np.zeros(300, dtype=np.uint64),
+                        np.arange(300, dtype=np.int64), max_bucket=None)
+    assert len(full) == 300 * 299 // 2
+
+
+def test_minhash_hot_bucket_end_to_end(ray_session):
+    """A template-heavy corpus (2k byte-identical docs — every band key
+    is one giant bucket) completes under an aggressive cap and still
+    clusters all copies together: star edges to the bucket minimum all
+    pass signature verification for identical docs."""
+    import ray.data
+    from pdf_parser_ray.stages.dedup import minhash_lsh_dedup
+    rows = ([{"doc_id": i, "text": "the same boilerplate page " * 8}
+             for i in range(2000)]
+            + [{"doc_id": 5000, "text": "something entirely different"}])
+    ds = ray.data.from_items(rows).repartition(8)
+    out = (minhash_lsh_dedup(ds, "text", "doc_id", threshold=0.8,
+                             n_parts=8, max_bucket=8)
+           .to_pandas())
+    rep = dict(zip(out["id"], out["rep"]))
+    assert all(rep[i] == 0 for i in range(2000))
+    assert rep[5000] == 5000
+
+
 def test_fingerprint_index_incremental(ray_session, tmp_path):
     """Index build + pruned-bucket probe: dups matched to the smallest
     indexed id, novel docs absent, untouched buckets unread."""
