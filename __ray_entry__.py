@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q47_pagerank": Q.q47_pagerank,
         "q66_pagerank_distributed": Q.q66_pagerank_distributed,
         "q48_incremental_dedup": Q.q48_incremental_dedup,
+        "q67_incremental_minhash": Q.q67_incremental_minhash,
         "q49_corpus_pipeline": Q.q49_corpus_pipeline,
         # dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
@@ -652,6 +653,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(t.doc_id) AS BIGINT) AS match_id
             FROM fp n JOIN fp t USING (fingerprint)
             GROUP BY 1 ORDER BY 1""",
+        # pair-recall invariant (like q21): every perturbed mirror in the
+        # new shard must near-match its source via the persisted index
+        "q67_incremental_minhash": """
+            SELECT doc_id + 10000000 AS doc_id, 1 AS matched_src
+            FROM documents ORDER BY 1""",
         "q49_corpus_pipeline": f"""
             WITH s AS (
               SELECT doc_id, lang, {_TOKEN_CNT} AS token_cnt,

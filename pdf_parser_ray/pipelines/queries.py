@@ -923,21 +923,62 @@ def q48_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     over the corpus once, then check a NEW shard (the same docs re-keyed
     +10^7, i.e. guaranteed exact dups) against it reading only touched
     index buckets."""
+    import shutil
     import tempfile
 
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     index_dir = tempfile.mkdtemp(prefix="fpindex_")
-    D.build_fingerprint_index(ds, "doc_id", "text", index_dir)
+    try:
+        D.build_fingerprint_index(ds, "doc_id", "text", index_dir)
 
-    def rekey(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["doc_id"] = (out["doc_id"] + 10_000_000).astype("int64")
-        return out
+        def rekey(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["doc_id"] = (out["doc_id"] + 10_000_000).astype("int64")
+            return out
 
-    new_ds = ds.map_batches(rekey, batch_format="pandas")
-    out = D.dedup_against_index(new_ds, index_dir, "doc_id", "text")
+        new_ds = ds.map_batches(rekey, batch_format="pandas")
+        out = D.dedup_against_index(new_ds, index_dir, "doc_id", "text")
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q67_incremental_minhash(sf_dir: str) -> pd.DataFrame:
+    """Incremental NEAR-dup against a persisted MinHash band index —
+    the rolling-ingest twin of q48 (exact) built from the q21 banding:
+    the corpus's band rows persist once in ``band_part=`` buckets; a
+    NEW shard (perturbed mirrors, ids +DUP_OFFSET) bands once and
+    probes only the buckets it touches. Pair-recall invariant: every
+    new doc must near-match its source."""
+    import shutil
+    import tempfile
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    index_dir = tempfile.mkdtemp(prefix="bandidx_")
+    try:
+        D.build_minhash_band_index(ds, "doc_id", "text", index_dir)
+
+        def shift(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["doc_id"] = (out["doc_id"] + DUP_OFFSET).astype("int64")
+            out["text"] = out["text"] + " perturbed"
+            return out
+
+        new_ds = ds.map_batches(shift, batch_format="pandas")
+        matches = D.dedup_against_band_index(
+            new_ds, index_dir, "doc_id", "text", threshold=0.7).to_pandas()
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+    by_new = matches.groupby("doc_id")["match_id"].apply(set)
+    base = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])["doc_id"].astype("int64")
+    flag = [int(src in by_new.get(src + DUP_OFFSET, set()))
+            for src in sorted(base)]
+    return pd.DataFrame({
+        "doc_id": pd.Series(sorted(base + DUP_OFFSET), dtype="int64"),
+        "matched_src": pd.Series(flag, dtype="int64")})
 
 
 def q49_corpus_pipeline(sf_dir: str) -> pd.DataFrame:

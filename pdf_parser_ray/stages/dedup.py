@@ -26,15 +26,16 @@ collects):
   is distributed iterative min-label propagation over a coarsened
   ``groupby(node)`` (:func:`cluster_pairs_dataset`) and the (id, rep)
   result is itself a Dataset — nothing O(corpus ids) or O(pairs) lands on
-  the driver in the MinHash/SimHash paths (the Jaccard/embedding paths
-  route candidates through :func:`verify_pairs_distributed`, which holds
-  the candidate list — bounded by banding — on the driver).
+  the driver in ANY near-dup path (r4: the Jaccard/embedding candidate
+  lists became Datasets too).
 * n-gram Jaccard and embedding-cosine verify exact similarity for
-  candidate pairs via :func:`verify_pairs_distributed`: candidate ids are
-  hash-assigned to verify partitions, each doc's payload (shingle set /
-  normalized vector) is emitted once per partition that needs it, and the
-  exact check runs inside ``groupby(vpart)`` — the corpus itself is never
-  collected and no full matrix is broadcast.
+  candidate pairs via :func:`verify_pairs_distributed`: candidate (a, b)
+  rows hash to verify partitions, a (pid, vpart) routing projection
+  joins the corpus on id (big-to-big ``shuffle_join``), each doc's
+  payload (shingle set / normalized vector) is emitted once per
+  partition that needs it, and the exact check runs inside
+  ``groupby(vpart)`` — the corpus is never collected, no full matrix is
+  broadcast, and the candidate list never materializes on the driver.
 * All hashing is seeded/stable (crc32 + fixed multipliers) — same corpus →
   same clusters on any cluster size, which resume and the oracle need.
 * Skew note: a hot band bucket (e.g. a boilerplate-only band over a
@@ -589,73 +590,110 @@ def cluster_pairs_dataset(pair_ds, ids_ds, id_col: str, *,
 # ---------------------------------------------------------------------------
 
 
-def verify_pairs_distributed(ds, pairs: np.ndarray, id_col: str,
+def verify_pairs_distributed(ds, pairs, id_col: str,
                              payload_batch_fn, pair_ok_fn,
-                             *, n_parts: int = 32) -> np.ndarray:
-    """Exact-verify candidate pairs without collecting the corpus.
+                             *, n_parts: int = 32):
+    """Exact-verify candidate pairs without collecting the corpus — and
+    (Dataset input) without ever holding the candidate list either.
 
-    Each pair is hash-assigned to a verify partition; each candidate doc's
-    payload (computed batch-wise by ``payload_batch_fn``) is emitted once
-    per partition that references it (usually one). ``groupby(vpart)``
-    co-locates both payloads of every pair; ``pair_ok_fn(pa_payload,
-    pb_payload)`` runs inside the group. Only the verified (a, b) list
-    comes back — bounded by the candidate count, which banding keeps tiny
-    relative to the corpus.
+    Dataset-native routing (r4, closes the last O(candidates) driver
+    allocation): candidate (a, b) rows hash to a verify partition
+    ``vpart``; a tiny (pid, vpart) routing projection of the pairs joins
+    the corpus on id (:func:`..relational.shuffle_join` — a big-to-big
+    exchange, so the corpus is filtered to candidates without any
+    broadcast id set); each candidate doc's payload (computed batch-wise
+    by ``payload_batch_fn``) is emitted once per partition that
+    references it (usually one). Pair rows and payload rows UNION into
+    one stream and ``groupby(vpart)`` co-locates a pair with both its
+    payloads; ``pair_ok_fn(pa_payload, pb_payload)`` runs inside the
+    group. Duplicate candidates (one pair colliding in several bands)
+    land in the same vpart and dedupe there.
+
+    ``pairs`` may be an (a, b) Dataset — the scale path; returns the
+    verified (a, b) Dataset — or an (n, 2) ndarray for compatibility
+    (returns an ndarray; the list is already on the driver then).
 
     ``payload_batch_fn(sub_df) -> list[bytes]`` maps a filtered batch
     (id, …) to one packed payload per row (bytes travel as Arrow binary
     through the shuffle; decode inside ``pair_ok_fn``).
     """
-    import ray
+    from .relational import shuffle_join
 
-    if len(pairs) == 0:
-        return np.empty((0, 2), dtype=np.int64)
-    n_parts = max(1, min(n_parts, len(pairs)))
-    ppart = (pairs[:, 0] * 1000003 + pairs[:, 1]) % n_parts
-    part_pairs: dict[int, list[tuple]] = {}
-    id_parts: dict[int, set[int]] = {}
-    for (x, y), p in zip(pairs.tolist(), ppart.tolist()):
-        part_pairs.setdefault(p, []).append((x, y))
-        id_parts.setdefault(x, set()).add(p)
-        id_parts.setdefault(y, set()).add(p)
-    part_pairs_ref = ray.put(part_pairs)
-    id_parts_ref = ray.put({i: sorted(ps) for i, ps in id_parts.items()})
+    as_array = isinstance(pairs, np.ndarray)
+    if as_array:
+        if len(pairs) == 0:
+            return np.empty((0, 2), dtype=np.int64)
+        n_parts = max(1, min(n_parts, len(pairs)))
+        pair_ds = _pairs_dataset(pairs)
+    else:
+        pair_ds = pairs
 
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        assign = ray.get(id_parts_ref)
-        sub = df[df[id_col].isin(assign)]
-        if sub.empty:
-            return pd.DataFrame({"vpart": pd.Series(dtype="int64"),
-                                 "pid": pd.Series(dtype="int64"),
-                                 "payload": pd.Series(dtype="object")})
-        payloads = payload_batch_fn(sub)
-        parts, pids, plds = [], [], []
-        for pid, pld in zip(sub[id_col].tolist(), payloads):
-            for p in assign[pid]:
-                parts.append(p)
-                pids.append(pid)
-                plds.append(pld)
-        return pd.DataFrame({"vpart": pd.Series(parts, dtype="int64"),
-                             "pid": pd.Series(pids, dtype="int64"),
-                             "payload": pd.Series(plds, dtype="object")})
+    cols = ["vpart", "kind", "pid", "payload", "a", "b"]
+
+    def _frame(vpart, kind, pid, payload, a, b) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vpart": pd.Series(vpart, dtype="int64"),
+            "kind": pd.Series(kind, dtype="int64"),
+            "pid": pd.Series(pid, dtype="int64"),
+            "payload": pd.Series(payload, dtype="object"),
+            "a": pd.Series(a, dtype="int64"),
+            "b": pd.Series(b, dtype="int64")})[cols]
+
+    def _vpart(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return (a * 1000003 + b) % n_parts
+
+    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["a", "b"]].drop_duplicates()
+        vp = _vpart(df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64))
+        n = len(df)
+        return _frame(vp, np.ones(n), np.full(n, -1), [b""] * n,
+                      df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64))
+
+    def route_rows(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        vp = _vpart(a, b)
+        out = pd.DataFrame({"pid": np.concatenate([a, b]),
+                            "vpart": np.concatenate([vp, vp])})
+        return out.drop_duplicates()
+
+    routing = pair_ds.map_batches(route_rows, batch_format="pandas")
+    hits = shuffle_join(ds, routing, left_on=id_col, right_on="pid",
+                        n_parts=n_parts)
+
+    def payload_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _frame([], [], [], [], [], [])
+        payloads = payload_batch_fn(df)
+        n = len(df)
+        return _frame(df["vpart"].to_numpy(np.int64), np.zeros(n),
+                      df[id_col].to_numpy(np.int64), payloads,
+                      np.full(n, -1), np.full(n, -1))
+
+    stream = (hits.map_batches(payload_rows, batch_format="pandas")
+              .union(pair_ds.map_batches(pair_rows,
+                                         batch_format="pandas")))
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
-        if group.empty:
+        todo = group[group["kind"] == 1][["a", "b"]].drop_duplicates()
+        if todo.empty:
             return _EMPTY_PAIRS.copy()
-        by_id = dict(zip(group["pid"], group["payload"]))
-        todo = ray.get(part_pairs_ref).get(int(group["vpart"].iloc[0]), [])
+        py = group[group["kind"] == 0]
+        by_id = dict(zip(py["pid"], py["payload"]))
         ok_a, ok_b = [], []
-        for x, y in todo:
-            px, py = by_id.get(x), by_id.get(y)
-            if px is not None and py is not None and pair_ok_fn(px, py):
+        for x, y in todo.itertuples(index=False):
+            px, pyl = by_id.get(x), by_id.get(y)
+            if px is not None and pyl is not None and pair_ok_fn(px, pyl):
                 ok_a.append(x)
                 ok_b.append(y)
         return pd.DataFrame({"a": pd.Series(ok_a, dtype="int64"),
                              "b": pd.Series(ok_b, dtype="int64")})
 
-    verified = (ds.map_batches(emit, batch_format="pandas")
-                .groupby("vpart").map_groups(verify, batch_format="pandas"))
-    return _collect_pairs(verified)
+    verified = stream.groupby("vpart").map_groups(verify,
+                                                  batch_format="pandas")
+    if as_array:
+        return _collect_pairs(verified)
+    return verified
 
 
 # ---------------------------------------------------------------------------
@@ -808,9 +846,13 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
 def minhash_candidate_pairs(ds, text_col: str, id_col: str, *,
                             num_perm: int = 64, bands: int = 16, k: int = 3,
                             n_parts: int = 64, max_bucket: int | None = 256,
-                            concurrency=(1, 4)) -> np.ndarray:
+                            as_dataset: bool = False,
+                            concurrency=(1, 4)):
     """Candidate (a, b) pairs from LSH banding alone (threshold-free) —
-    feeds exact verifiers (n-gram Jaccard)."""
+    feeds exact verifiers (n-gram Jaccard). ``as_dataset`` returns the
+    pair Dataset uncollected (may contain cross-band duplicates of a
+    pair — they hash to one verify partition and dedupe there); the
+    default ndarray return is the driver-side convenience form."""
     band_ds = minhash_band_dataset(
         ds, text_col, id_col, num_perm=num_perm, bands=bands, k=k,
         n_parts=n_parts, concurrency=concurrency)
@@ -823,8 +865,11 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str, *,
             return _EMPTY_PAIRS.copy()
         return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1]})
 
-    return _collect_pairs(
-        band_ds.groupby("band_part").map_groups(emit, batch_format="pandas"))
+    pair_ds = band_ds.groupby("band_part").map_groups(
+        emit, batch_format="pandas")
+    if as_dataset:
+        return pair_ds
+    return _collect_pairs(pair_ds)
 
 
 # ---------------------------------------------------------------------------
@@ -896,13 +941,15 @@ def ngram_jaccard_dedup(ds, text_col: str, id_col: str, *, k: int = 3,
     """Exact n-gram-Jaccard verification over MinHash-LSH candidates.
 
     One banding pass generates candidates; exact verification runs through
-    :func:`verify_pairs_distributed` — each candidate doc is shingled
-    batch-wise in the workers and only the verified pair list returns.
-    Neither texts nor shingle sets are ever collected wholesale. Returns
+    :func:`verify_pairs_distributed` — candidates stay a DATASET end to
+    end (r4: banding → routing join → in-partition verify → label
+    propagation with no O(candidates) driver allocation anywhere); each
+    candidate doc is shingled batch-wise in the workers. Neither texts
+    nor shingle sets nor the pair list are ever collected. Returns
     an ``(id, rep)`` Dataset (distributed label propagation)."""
     cand = minhash_candidate_pairs(ds, text_col, id_col, num_perm=num_perm,
                                    bands=bands, k=k, n_parts=n_parts,
-                                   max_bucket=max_bucket)
+                                   max_bucket=max_bucket, as_dataset=True)
 
     def payloads(sub: pd.DataFrame) -> list:
         return [shingle_hashes(t, k).tobytes()
@@ -917,7 +964,7 @@ def ngram_jaccard_dedup(ds, text_col: str, id_col: str, *, k: int = 3,
 
     verified = verify_pairs_distributed(
         ds.select_columns([id_col, text_col]), cand, id_col, payloads, ok)
-    return cluster_pairs_dataset(_pairs_dataset(verified),
+    return cluster_pairs_dataset(verified,
                                  _ids_dataset(ds, id_col, ids), id_col,
                                  n_parts=n_parts)
 
@@ -1036,8 +1083,8 @@ def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
         keep = _popcount64(sigs[ai] ^ sigs[bi]) <= ham_max
         return pd.DataFrame({"a": pairs[keep, 0], "b": pairs[keep, 1]})
 
-    cand = _collect_pairs(
-        band_ds.groupby("band_part").map_groups(emit, batch_format="pandas"))
+    cand = band_ds.groupby("band_part").map_groups(emit,
+                                                   batch_format="pandas")
 
     def payloads(sub: pd.DataFrame) -> list:
         mat = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
@@ -1051,7 +1098,7 @@ def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
 
     verified = verify_pairs_distributed(
         ds.select_columns([id_col, vec_col]), cand, id_col, payloads, ok)
-    return cluster_pairs_dataset(_pairs_dataset(verified),
+    return cluster_pairs_dataset(verified,
                                  _ids_dataset(ds, id_col, ids), id_col,
                                  n_parts=n_parts)
 
@@ -1152,3 +1199,184 @@ def dedup_against_index(new_ds, index_dir: str, id_col: str,
                              "match_id": pd.Series([], dtype="int64")})
     return (parts.groupby(id_col, sort=True)["match_id"].min()
             .astype("int64").reset_index())
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash band index — incremental NEAR-dup (new-shard vs corpus)
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_band_index(ds, id_col: str, text_col: str,
+                             index_dir: str, *, num_perm: int = 64,
+                             bands: int = 16, k: int = 3, seed: int = 13,
+                             n_buckets: int = 64) -> str:
+    """Persist the corpus's LSH band rows as a bucketed parquet index so
+    NEW ingest waves can be NEAR-deduped against the corpus without
+    re-signing it — the near-dup completion of
+    :func:`build_fingerprint_index` (exact) + :func:`minhash_lsh_dedup`
+    (one-shot). Rows ``(id, band_key, sig)`` land in hive dirs
+    ``band_part=band_key % n_buckets``; buckets are disjoint by
+    construction, so per-wave appends never rewrite existing files.
+
+    A ``_index_meta.json`` sidecar pins the banding parameters; the
+    probe refuses a mismatched index (wrong params silently produce
+    wrong candidates otherwise).
+
+    Single-node note (also applies to the fingerprint index): the
+    ``local://`` scheme plus the probe's driver-side directory listing
+    assume every node sees ``index_dir`` — point it at a shared
+    filesystem / object store on a multi-node cluster.
+    """
+    import json
+    import os
+
+    band_ds = minhash_band_dataset(
+        ds.select_columns([id_col, text_col]), text_col, id_col,
+        num_perm=num_perm, bands=bands, k=k, seed=seed,
+        n_parts=n_buckets)
+    band_ds.write_parquet(f"local://{index_dir}",
+                          partition_cols=["band_part"])
+    meta = {"num_perm": num_perm, "bands": bands, "k": k, "seed": seed,
+            "n_buckets": n_buckets, "id_col": id_col}
+    with open(os.path.join(index_dir, "_index_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return index_dir
+
+
+def dedup_against_band_index(new_ds, index_dir: str, id_col: str,
+                             text_col: str, *, threshold: float = 0.8,
+                             num_perm: int = 64, bands: int = 16,
+                             k: int = 3, seed: int = 13,
+                             n_buckets: int = 64,
+                             max_bucket: int | None = 256,
+                             n_parts: int = 32):
+    """NEAR-dup a NEW shard against a :func:`build_minhash_band_index`
+    corpus index. Returns the verified match Dataset ``(id_col,
+    match_id)`` — one row per (new doc, index doc) pair whose signature
+    agreement ≥ ``threshold`` (cross-band duplicates removed); reduce
+    downstream (min per id for a q48-style decision, or EXISTS for a
+    drop filter).
+
+    Shape: the new shard bands once (same fused signature pass the
+    one-shot path uses) and only the index buckets its band keys touch
+    are read from disk; index and new band rows union and meet in a
+    coarsened ``groupby(band_part)``; candidate generation is a
+    vectorized in-partition merge on band_key — new×index ONLY (never
+    index×index: the corpus is already deduped) — with the index side
+    of each hot key capped to its ``max_bucket`` smallest ids (logged);
+    signature verification is the same vectorized slot-agreement test
+    as :func:`minhash_lsh_dedup`. Nothing O(corpus) or O(candidates)
+    lands on the driver.
+    """
+    import json
+    import os
+
+    import ray.data
+
+    from .relational import add_coarse_part
+
+    meta_path = os.path.join(index_dir, "_index_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        want = {"num_perm": num_perm, "bands": bands, "k": k,
+                "seed": seed, "n_buckets": n_buckets}
+        got = {kk: meta.get(kk) for kk in want}
+        if got != want:
+            raise ValueError(
+                f"band-index parameter mismatch: index built with {got}, "
+                f"probe called with {want}")
+
+    new_band = minhash_band_dataset(
+        new_ds.select_columns([id_col, text_col]), text_col, id_col,
+        num_perm=num_perm, bands=bands, k=k, seed=seed,
+        n_parts=n_buckets).materialize()
+
+    touched = set(new_band.select_columns(["band_part"])
+                  .unique("band_part"))
+    files = []
+    for b in sorted(touched):
+        p = os.path.join(index_dir, f"band_part={b}")
+        if os.path.isdir(p):
+            files.extend(os.path.join(p, f) for f in sorted(os.listdir(p))
+                         if f.endswith(".parquet"))
+
+    empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                          "match_id": pd.Series(dtype="int64")})
+    if not files:
+        return ray.data.from_pandas(empty)
+
+    def tag(side: int):
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            # recompute band_part from band_key: hive writes strip the
+            # partition column, and the explicit-file read (required —
+            # read_parquet won't expand dirs inside a path list) never
+            # re-infers it
+            bk = df["band_key"].to_numpy().astype(np.uint64)
+            out = pd.DataFrame({
+                "band_part": (bk % np.uint64(n_buckets)).astype(np.int64),
+                "band_key": bk,
+                "pid": df[id_col].astype("int64"),
+                "sig": df["sig"],
+                "side": np.int64(side)})
+            return out
+        return add
+
+    idx_rows = ray.data.read_parquet(files).map_batches(
+        tag(0), batch_format="pandas")
+    new_rows = new_band.map_batches(tag(1), batch_format="pandas")
+
+    def probe(group: pd.DataFrame) -> pd.DataFrame:
+        newr = group[group["side"] == 1]
+        idxr = group[group["side"] == 0]
+        if newr.empty or idxr.empty:
+            return empty.copy()
+        pre = len(idxr)
+        if max_bucket is not None:
+            idxr = (idxr.sort_values("pid")
+                    .groupby("band_key", sort=False).head(max_bucket))
+            if len(idxr) < pre:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "dedup_against_band_index: capped hot band keys to "
+                    "their %d smallest index ids (%d rows dropped)",
+                    max_bucket, pre - len(idxr))
+        cand = (newr[["band_key", "pid"]]
+                .merge(idxr[["band_key", "pid"]]
+                       .rename(columns={"pid": "idx_id"}), on="band_key")
+                [["pid", "idx_id"]].drop_duplicates())
+        if cand.empty:
+            return empty.copy()
+
+        def sig_matrix(frame: pd.DataFrame, need: np.ndarray):
+            sub = frame.drop_duplicates("pid")
+            sub = sub[sub["pid"].isin(need)]
+            pids = sub["pid"].to_numpy(np.int64)
+            order = np.argsort(pids)
+            pids = pids[order]
+            mat = np.stack([np.frombuffer(b, dtype=np.uint32)
+                            for b in sub["sig"].to_numpy()[order]])
+            return pids, mat
+
+        np_ids, nmat = sig_matrix(newr, cand["pid"].unique())
+        ix_ids, imat = sig_matrix(idxr, cand["idx_id"].unique())
+        ai = np.searchsorted(np_ids, cand["pid"].to_numpy(np.int64))
+        bi = np.searchsorted(ix_ids, cand["idx_id"].to_numpy(np.int64))
+        est = (nmat[ai] == imat[bi]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame({
+            id_col: cand["pid"].to_numpy(np.int64)[keep],
+            "match_id": cand["idx_id"].to_numpy(np.int64)[keep]})
+
+    matches = (idx_rows.union(new_rows)
+               .groupby("band_part").map_groups(probe,
+                                                batch_format="pandas"))
+
+    # one pair can collide in several bands => several band_part
+    # partitions; final coarsened dedup on the new id
+    def dedupe(group: pd.DataFrame) -> pd.DataFrame:
+        return (group[[id_col, "match_id"]]
+                .drop_duplicates([id_col, "match_id"]))
+
+    return (add_coarse_part(matches, id_col, n_parts)
+            .groupby("_kpart").map_groups(dedupe, batch_format="pandas"))

@@ -132,6 +132,11 @@ def shuffle_join(left, right, *, left_on: str, right_on: str | None = None,
                     t = pa.from_numpy_dtype(t)
                 except (pa.ArrowNotImplementedError, TypeError):
                     t = pa.string()
+            if isinstance(t, pa.ExtensionType):
+                # e.g. Ray's tensor extension: two batches carry DISTINCT
+                # extension instances that refuse to cast to each other;
+                # join on the storage representation instead
+                t = t.storage_type
             out[n] = t
         return out
 
@@ -161,7 +166,10 @@ def shuffle_join(left, right, *, left_on: str, right_on: str | None = None,
                 elif f.name == left_on:
                     cols.append(batch[key_col].cast(f.type))
                 elif f.name in batch.column_names:
-                    cols.append(batch[f.name].cast(f.type))
+                    col = batch[f.name]
+                    if isinstance(col.type, pa.ExtensionType):
+                        col = col.cast(col.type.storage_type)
+                    cols.append(col.cast(f.type))
                 else:
                     cols.append(pa.nulls(n, type=f.type))
             return pa.Table.from_arrays(cols, schema=unified)

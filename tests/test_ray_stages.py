@@ -1164,6 +1164,36 @@ def test_pagerank_distributed_as_dataset(ray_session):
     assert abs(r[3] - (0.15 + 0.85 * 1.5)) < 1e-12
 
 
+def test_verify_pairs_dataset_routing(ray_session):
+    """verify_pairs_distributed with a candidate DATASET: pairs route via
+    the (pid, vpart) join, duplicates dedupe in-partition, and the result
+    matches the ndarray compatibility path exactly."""
+    import ray.data
+    from pdf_parser_ray.stages.dedup import verify_pairs_distributed
+    docs = [{"doc_id": i, "text": t} for i, t in enumerate(
+        ["aa bb cc", "aa bb cc", "aa bb ccx", "zz yy xx", "zz yy xx"])]
+    ds = ray.data.from_items(docs).repartition(3)
+    cand = np.array([[0, 1], [0, 2], [3, 4], [1, 2]], dtype=np.int64)
+
+    def payloads(sub):
+        return [t.encode() for t in sub["text"]]
+
+    def ok(bx, by):
+        return bx == by
+
+    got_arr = verify_pairs_distributed(ds, cand, "doc_id", payloads, ok,
+                                       n_parts=4)
+    # dataset input, with a duplicated candidate row
+    cand_ds = ray.data.from_items(
+        [{"a": int(a), "b": int(b)} for a, b in cand]
+        + [{"a": 0, "b": 1}]).repartition(2)
+    got_ds = (verify_pairs_distributed(ds, cand_ds, "doc_id", payloads,
+                                       ok, n_parts=4)
+              .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert got_arr.tolist() == [[0, 1], [3, 4]]
+    assert got_ds.values.tolist() == [[0, 1], [3, 4]]
+
+
 def test_bucket_pairs_hot_bucket_cap():
     """10k ids sharing ONE band key emit O(M² + b) pairs (clique over the
     M smallest + min-id star), never O(b²); every member stays connected
@@ -1225,6 +1255,38 @@ def test_fingerprint_index_incremental(ray_session, tmp_path):
     out = dedup_against_index(ray.data.from_items(new), idx,
                               "doc_id", "text", n_buckets=8)
     assert dict(zip(out.doc_id, out.match_id)) == {100: 1}
+
+
+def test_minhash_band_index_incremental(ray_session, tmp_path):
+    """Persisted band index: a perturbed near-dup in a NEW shard matches
+    its indexed source, a novel doc matches nothing, and a probe with
+    mismatched banding params refuses to run."""
+    import ray.data
+    from pdf_parser_ray.stages.dedup import (build_minhash_band_index,
+                                             dedup_against_band_index)
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "rests in the warm afternoon sun near the river")
+    corpus = [{"doc_id": 1, "text": base},
+              {"doc_id": 2, "text": "completely different content about "
+                                    "spark clusters and arrow buffers "
+                                    "streaming through object stores"}]
+    idx = str(tmp_path / "bandidx")
+    build_minhash_band_index(ray.data.from_items(corpus), "doc_id",
+                             "text", idx, n_buckets=8)
+    new = [{"doc_id": 100, "text": base + " perturbed"},
+           {"doc_id": 101, "text": "utterly novel words nothing shared "
+                                   "with any indexed document at all "
+                                   "herring wombat zeppelin quartz"}]
+    out = (dedup_against_band_index(ray.data.from_items(new), idx,
+                                    "doc_id", "text", threshold=0.7,
+                                    n_buckets=8)
+           .to_pandas())
+    matched = out.groupby("doc_id")["match_id"].apply(set).to_dict()
+    assert 1 in matched.get(100, set())
+    assert 101 not in matched
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        dedup_against_band_index(ray.data.from_items(new), idx,
+                                 "doc_id", "text", bands=8, n_buckets=8)
 
 
 def test_decode_ppm_real(ray_session):
