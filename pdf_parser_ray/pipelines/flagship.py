@@ -140,7 +140,7 @@ def _payload_fp_batch(batch: pa.Table) -> pa.Table:
 
 
 def dedup_by_content(corpus_ds, *, n_parts: int = 64,
-                     apply: str = "broadcast"):
+                     apply: str = "broadcast", extra_fp_ds=None):
     """Exact content dedup over raw PAYLOADS: captures carrying a
     byte-identical ``html`` payload (mirror copies, re-hosted pages) keep
     only those of the min url — the training-data "exact dedup", applied
@@ -161,12 +161,17 @@ def dedup_by_content(corpus_ds, *, n_parts: int = 64,
     the full rows take one coarsened ``groupby(fp-hash)`` payload shuffle
     and nothing reaches the driver.
 
-    Resume interaction: on a resumed run the decision pass sees only
-    PENDING rows (completed buckets are filtered upstream), so a mirror
-    pair split across a completed bucket and a pending row keeps both —
-    conservative (no data loss, a duplicate survives). Full consistency
-    across resumes would need the fingerprint projection of written
-    buckets unioned in, the same pattern the consistency aggregates use."""
+    Resume interaction (r4): ``extra_fp_ds`` — a (url, ts, fp) Dataset of
+    the rows already WRITTEN to completed buckets — unions into the
+    decision pass, the same pattern the consistency aggregates use, so a
+    mirror pair straddling the crash point dedupes identically to a
+    fresh run. The written side only ever CAUSES drops of pending rows,
+    never suffers one: the crashed run's own decision pass ran over the
+    full input pre-write, so written buckets cannot contain a row a
+    fresh run would drop; and buckets partition by url-hash, so one url
+    never splits across the written/pending line. In shuffle mode the
+    written projections ride the payload shuffle as phantom rows
+    (typed-null payload columns) and are masked out of the output."""
     import hashlib
 
     import pandas as pd
@@ -178,19 +183,43 @@ def dedup_by_content(corpus_ds, *, n_parts: int = 64,
         def add_fp(batch: pa.Table) -> pa.Table:
             fps = [hashlib.md5(p).hexdigest() if p else ""
                    for p in batch["html"].to_pylist()]
-            return batch.append_column("_fp", pa.array(fps,
-                                                       type=pa.string()))
+            batch = batch.append_column("_fp",
+                                        pa.array(fps, type=pa.string()))
+            return batch.append_column(
+                "_phantom", pa.array([False] * batch.num_rows))
 
         def winner(group: pa.Table) -> pa.Table:
             df = group.to_pandas()
             fp = df["_fp"]
             keep_url = df["url"].groupby(fp, sort=False).transform("min")
-            mask = (fp == "") | (df["url"] == keep_url)
+            mask = ((fp == "") | (df["url"] == keep_url)) \
+                & ~df["_phantom"]
             return pa.Table.from_pandas(
-                df[mask].drop(columns=["_kpart", "_fp"]),
+                df[mask].drop(columns=["_kpart", "_fp", "_phantom"]),
                 preserve_index=False)
 
         tagged = corpus_ds.map_batches(add_fp, batch_format="pyarrow")
+        if extra_fp_ds is not None:
+            schema = tagged.schema()
+            fields = list(zip(schema.names, schema.types))
+
+            def phantom(batch: pa.Table) -> pa.Table:
+                n = batch.num_rows
+                cols = []
+                for nm, tp in fields:
+                    if nm == "url":
+                        cols.append(batch["url"].cast(pa.string()))
+                    elif nm == "_fp":
+                        cols.append(batch["fp"].cast(pa.string()))
+                    elif nm == "_phantom":
+                        cols.append(pa.array([True] * n))
+                    else:
+                        cols.append(pa.nulls(n, type=tp))
+                return pa.Table.from_arrays(
+                    cols, names=[nm for nm, _ in fields])
+
+            tagged = tagged.union(
+                extra_fp_ds.map_batches(phantom, batch_format="pyarrow"))
         return (add_coarse_part(tagged, "_fp", n_parts)
                 .groupby("_kpart").map_groups(winner,
                                               batch_format="pyarrow"))
@@ -204,6 +233,8 @@ def dedup_by_content(corpus_ds, *, n_parts: int = 64,
 
     proj = (corpus_ds.select_columns(["url", "html", "warc_ts"])
             .map_batches(_payload_fp_batch, batch_format="pyarrow"))
+    if extra_fp_ds is not None:
+        proj = proj.union(extra_fp_ds)
     drop = (add_coarse_part(proj, "fp", n_parts)
             .groupby("_kpart").map_groups(combine, batch_format="pyarrow")
             .to_pandas())
@@ -273,8 +304,37 @@ def run_flagship(corpus_path, facts_path: str | None = None,
         ds = dedup_by_url(ds)
     if content_dedup:
         # pays one payload-hash pass over the raw input to skip extracting
-        # byte-identical mirror copies entirely
-        ds = dedup_by_content(ds)
+        # byte-identical mirror copies entirely. On a resume, union the
+        # WRITTEN buckets' payload fingerprints into the decision pass so
+        # a mirror pair straddling the crash point dedupes exactly like a
+        # fresh run (the written row wins: it is globally correct — the
+        # crashed run decided over the full input pre-write).
+        extra_fp = None
+        if out_dir:
+            import os as _osfp
+
+            import pyarrow.parquet as _pq
+            done = MAN.completed_buckets(out_dir, fingerprint, n_buckets)
+            done_files = []
+            for b in sorted(done):
+                bdir = f"{out_dir}/bucket={b}"
+                done_files += [f"{bdir}/{f}" for f in _osfp.listdir(bdir)
+                               if f.endswith(".parquet")]
+            if done_files and "payload_fp" in \
+                    _pq.read_schema(done_files[0]).names:
+                def to_fp_rows(batch: pa.Table) -> pa.Table:
+                    mask = pc.not_equal(batch["payload_fp"], "")
+                    batch = batch.filter(mask)
+                    return pa.table({
+                        "url": batch["url"].cast(pa.string()),
+                        "ts": batch["warc_ts"].cast(pa.string()),
+                        "fp": batch["payload_fp"].cast(pa.string())})
+
+                extra_fp = ray.data.read_parquet(
+                    done_files,
+                    columns=["url", "warc_ts", "payload_fp"]
+                ).map_batches(to_fp_rows, batch_format="pyarrow")
+        ds = dedup_by_content(ds, extra_fp_ds=extra_fp)
 
     # (min, max) pools when actors are requested; never the whole node or
     # the feeder read tasks starve (silent deadlock / 1/3 utilization)

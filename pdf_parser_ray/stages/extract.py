@@ -32,6 +32,10 @@ from ..kernels.taxonomy import LabelNormalizer
 RECORD_SCHEMA = pa.schema([
     ("url", pa.string()),
     ("warc_ts", pa.string()),
+    # md5 of the raw payload: lets a RESUMED run replay content-dedup
+    # decisions against already-written buckets without re-reading the
+    # raw corpus (flagship.dedup_by_content extra_fp_ds)
+    ("payload_fp", pa.string()),
     ("status", pa.string()),
     ("doc_kind", pa.string()),
     ("family_key", pa.string()),
@@ -72,12 +76,17 @@ class ExtractDocuments:
             self.facts = FactsStore(pq.read_table(facts_path).to_pylist())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
         urls = batch["url"].to_pylist()
         payloads = batch["html"].to_pylist()
         ts = batch["warc_ts"].to_pylist()
-        recs = [process_document(u, h, str(t), self.normalizer, self.facts,
-                                 self.classifier)
-                for u, h, t in zip(urls, payloads, ts)]
+        recs = []
+        for u, h, t in zip(urls, payloads, ts):
+            rec = process_document(u, h, str(t), self.normalizer,
+                                   self.facts, self.classifier)
+            rec["payload_fp"] = hashlib.md5(h).hexdigest() if h else ""
+            recs.append(rec)
         return pa.Table.from_pylist(recs, schema=RECORD_SCHEMA)
 
 

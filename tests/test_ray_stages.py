@@ -323,6 +323,67 @@ def test_crash_resume_no_duplicates(corpus_dir, tmp_path, ray_session):
         assert r["filing_sequence"] == clean_seq[r["url"]], r["url"]
 
 
+def test_content_dedup_resume_straddles_crash(tmp_path, ray_session):
+    """A mirror pair (same payload, different urls, different buckets)
+    straddling the crash point must dedupe identically to a fresh run:
+    the resumed decision pass replays against the WRITTEN buckets'
+    payload fingerprints, so the pending mirror is dropped again instead
+    of resurrected."""
+    import glob
+    import json
+
+    from pdf_parser_ray.pipelines.flagship import run_flagship
+    from pdf_parser_ray.sources.corpus import write_corpus
+    from pdf_parser_ray.stages.manifest import url_bucket
+
+    cdir, fpath = write_corpus(str(tmp_path / "c"), n_docs=16, seed=5,
+                               shards=2)
+    shard = sorted(glob.glob(os.path.join(cdir, "*.parquet")))[0]
+    t = pq.read_table(shard)
+    src_url = t["url"][0].as_py()
+    src_bucket = url_bucket(pa.array([src_url]), 8)[0].as_py()
+    # a mirror url that sorts AFTER the source (so the source wins) and
+    # lands in a DIFFERENT bucket
+    mirror_url = next(
+        u for u in (f"https://zzz.example/mirror{i}.html"
+                    for i in range(50))
+        if url_bucket(pa.array([u]), 8)[0].as_py() != src_bucket)
+    mirror = pa.table({
+        "url": pa.array([mirror_url]),
+        "warc_ts": t["warc_ts"].slice(0, 1),
+        "html": t["html"].slice(0, 1),
+        "text": t["text"].slice(0, 1),
+        "lang": t["lang"].slice(0, 1),
+    }).cast(t.schema)
+    pq.write_table(mirror, os.path.join(cdir, "part-99999.parquet"))
+
+    fresh_dir = str(tmp_path / "fresh")
+    run_flagship(cdir, fpath, out_dir=fresh_dir, n_buckets=8,
+                 concurrency=(1, 2), content_dedup=True)
+    fresh_urls = set(pq.read_table(fresh_dir)["url"].to_pylist())
+    assert src_url in fresh_urls and mirror_url not in fresh_urls
+
+    # the mirror's bucket ended up EMPTY (its only row was deduped), so
+    # it is never stamped — any rerun/resume naturally reprocesses the
+    # mirror's input row while its source sits in a COMPLETED bucket:
+    # exactly the straddle. Without the written-fp union the mirror
+    # would be resurrected here.
+    summary = run_flagship(cdir, fpath, out_dir=fresh_dir, n_buckets=8,
+                           concurrency=(1, 2), content_dedup=True)
+    resumed_urls = set(pq.read_table(fresh_dir)["url"].to_pylist())
+    assert resumed_urls == fresh_urls  # mirror NOT resurrected
+    assert summary["rows"] == len(fresh_urls)
+
+    # and a harder crash: un-stamp the SOURCE's bucket too (both sides
+    # pending) — decisions must still match the fresh run
+    os.remove(os.path.join(fresh_dir, f"bucket={src_bucket}",
+                           "_manifest.json"))
+    summary2 = run_flagship(cdir, fpath, out_dir=fresh_dir, n_buckets=8,
+                            concurrency=(1, 2), content_dedup=True)
+    assert set(pq.read_table(fresh_dir)["url"].to_pylist()) == fresh_urls
+    assert summary2["rows"] == len(fresh_urls)
+
+
 def test_url_bucket_vectorized():
     import pyarrow as pa
     from pdf_parser_ray.stages.manifest import url_bucket
@@ -536,6 +597,27 @@ def test_flagship_dedup_apply_modes(ray_session):
     assert ("https://b.example/y", str(ts(2))) not in c_b
     assert ("https://c.example/z", str(ts(4))) in c_b
     assert len(c_b) == 4
+
+    # extra_fp_ds (resume replay): a WRITTEN row with a smaller url and
+    # the same payload md5 as a pending AAA capture drops it, in BOTH
+    # apply modes, and the phantom never appears in the output
+    import hashlib
+    written = ray.data.from_arrow(pa.table({
+        "url": pa.array(["https://0.example/w"]),
+        "ts": pa.array(["2020-01-01 00:00:00"]),
+        "fp": pa.array([hashlib.md5(b"AAA").hexdigest()])}))
+    e_b = survivors(dedup_by_content(ray.data.from_arrow(t),
+                                     extra_fp_ds=written))
+    e_s = survivors(dedup_by_content(ray.data.from_arrow(t),
+                                     apply="shuffle",
+                                     extra_fp_ds=written))
+    assert e_b == e_s
+    assert "https://0.example/w" not in [u for u, _ in e_b]
+    assert ("https://a.example/x", str(ts(1))) not in e_b  # AAA dropped
+    assert ("https://a.example/x", str(ts(5))) in e_b  # unique AAA2 kept
+    assert ("https://b.example/y", str(ts(2))) not in e_b  # AAA dropped
+    assert ("https://b.example/y", str(ts(3))) in e_b  # unique BBB kept
+    assert ("https://c.example/z", str(ts(4))) in e_b  # empty exempt
 
 
 def test_sketches(ray_session):
