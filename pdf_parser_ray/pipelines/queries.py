@@ -652,8 +652,11 @@ def q29_active_user_events(sf_dir: str) -> pd.DataFrame:
     active = per_user.loc[per_user["n"] >= ACTIVE_USER_MIN_EVENTS,
                           "user_id"]
     kept = R.semi_join_broadcast(ds, active, on="user_id")
+    # COUNT(*) semantics: count a never-null column (event_type), not
+    # value — a null value must still count (advisor finding; the q34
+    # oracle implies nulls are in-scope for events.value)
     out = R.pre_aggregate(kept, ["event_type"],
-                          {"n": ("value", "count"),
+                          {"n": ("event_type", "count"),
                            "sum_value": ("value", "sum")})
     out["n"] = out["n"].astype("int64")
     out["sum_value"] = out["sum_value"].round(2)

@@ -1122,6 +1122,11 @@ def build_fingerprint_index(ds, id_col: str, text_col: str,
     O(corpus ids), not O(payloads). At web scale the index is appended
     per ingest wave — buckets are disjoint by construction, so appends
     never rewrite existing files.
+
+    Single-node note: the ``local://`` scheme plus the probe's
+    driver-side directory listing assume every node sees ``index_dir``
+    — point it at a shared filesystem / object store on a multi-node
+    cluster (same constraint as :func:`build_minhash_band_index`).
     """
     import ray.data
 

@@ -98,18 +98,26 @@ class DecodeImages:
 
     def _decode(self, payload: bytes) -> dict:
         if (payload or b"").startswith(b"P6"):
-            # real path: PPM decodes with numpy alone (both modes)
-            w, hgt, img = decode_ppm(payload)
-            resized = _resize_nn(img, *self.resize_to)
-            return {
-                "mime": "image/x-portable-pixmap",
-                "width": w,
-                "height": hgt,
-                "resized_w": resized.shape[1],
-                "resized_h": resized.shape[0],
-                "features": _image_features(
-                    img, self.feature_dim).tolist(),
-            }
+            # real path: PPM decodes with numpy alone (both modes).
+            # A corrupt/truncated payload behind the magic raises in
+            # STRICT mode but falls through to the deterministic fake
+            # otherwise — fake mode must never throw (advisor finding)
+            try:
+                w, hgt, img = decode_ppm(payload)
+            except Exception:
+                if self.mode == STRICT:
+                    raise
+            else:
+                resized = _resize_nn(img, *self.resize_to)
+                return {
+                    "mime": "image/x-portable-pixmap",
+                    "width": w,
+                    "height": hgt,
+                    "resized_w": resized.shape[1],
+                    "resized_h": resized.shape[0],
+                    "features": _image_features(
+                        img, self.feature_dim).tolist(),
+                }
         if self.mode == STRICT:
             raise NotImplementedError(
                 "compressed-image decode requires PIL/opencv — not "
@@ -188,12 +196,20 @@ class DecodeAudio:
 
     def _decode(self, payload: bytes) -> dict:
         if (payload or b"").startswith(b"RIFF"):
-            rate, nch, x = decode_wav(payload)
-            return {"mime": "audio/wav", "sample_rate": rate,
-                    "channels": nch,
-                    "duration_sec": float(len(x)) / rate if rate else 0.0,
-                    "features": _audio_features(
-                        x, rate, self.feature_dim).tolist()}
+            # corrupt/truncated RIFF raises in STRICT mode only; fake
+            # mode falls through and must never throw (advisor finding)
+            try:
+                rate, nch, x = decode_wav(payload)
+            except Exception:
+                if self.mode == STRICT:
+                    raise
+            else:
+                return {"mime": "audio/wav", "sample_rate": rate,
+                        "channels": nch,
+                        "duration_sec":
+                            float(len(x)) / rate if rate else 0.0,
+                        "features": _audio_features(
+                            x, rate, self.feature_dim).tolist()}
         if self.mode == STRICT:
             raise NotImplementedError(
                 "compressed-audio decode requires torchaudio/pyav — "

@@ -470,13 +470,32 @@ def range_join_count(ds, right_df: pd.DataFrame, *, key: str,
 
 def grouped_quantiles(ds, key: str, value_col: str,
                       quantiles=(0.5, 0.9, 0.99), *,
-                      n_parts: int = 64) -> pd.DataFrame:
-    """Exact per-key quantiles (linear interpolation — matches SQL
+                      n_parts: int = 64, method: str = "exact",
+                      nbins: int = 64) -> pd.DataFrame:
+    """Per-key quantiles, exact or sketch-grade, same output shape.
+
+    ``method="exact"`` (default, linear interpolation — matches SQL
     ``quantile_cont``): coarsened-key shuffle co-locates each key's values,
     the in-partition computation is one vectorized pandas groupby-quantile
     over every key the partition holds. Exactness requires a full shuffle
-    of the value column by construction; for sketch-grade approximations
-    at 100 TB swap in a mergeable t-digest (same interface)."""
+    of the value column by construction.
+
+    ``method="sketch"``: the 100-TB swap — per-batch mergeable equi-width
+    histograms (``sketch.grouped_histogram``, ≤ keys × ``nbins`` partial
+    rows per batch, ZERO shuffles) with linear interpolation inside the
+    containing bin; per-key error is bounded by one bin width of that
+    key's value range. Callers flip one flag instead of rewiring onto the
+    sketch module."""
+    if method == "sketch":
+        from .sketch import grouped_histogram, histogram_quantiles
+
+        hist, bounds = grouped_histogram(ds, key, value_col, nbins=nbins,
+                                         return_bounds=True)
+        out = histogram_quantiles(hist, key, quantiles, bounds=bounds,
+                                  nbins=nbins)
+        return out.sort_values(key).reset_index(drop=True)
+    if method != "exact":
+        raise ValueError(f"unknown quantile method {method}")
     qcols = [f"q{int(q * 100)}" for q in quantiles]
 
     def part(group: pa.Table) -> pa.Table:

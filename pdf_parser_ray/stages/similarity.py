@@ -284,6 +284,14 @@ def kmeans(ds, *, vec_col: str, id_col: str, k: int = 8, iters: int = 2,
     captured in the task closure (k × dims floats); at very large k ship
     them with ``ray.put`` instead.
 
+    ULP caveat (advisor): numpy's pairwise-summed squared distances and
+    centroid sums can differ from DuckDB's sequential list_sum/AVG by
+    last-bit float error, which could flip the assignment of a point
+    near-EQUIDISTANT between two centroids and break exact oracle
+    parity. Not observed on the synthetic embeddings (no near-ties at
+    float64 precision); if q38 ever flakes, compare assignments at a
+    distance tolerance rather than exactly.
+
     ``iters`` counts ASSIGNMENT passes: the returned labels are the
     assignment of pass ``iters`` against centroids refit ``iters - 1``
     times (iters=1 = nearest-init-centroid, no refit). Total streaming

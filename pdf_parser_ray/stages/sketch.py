@@ -83,7 +83,7 @@ def hll_sketch(ds, col: str, *, p: int = 12) -> np.ndarray:
 
 
 def grouped_histogram(ds, key: str, value_col: str, *,
-                      nbins: int = 64) -> pd.DataFrame:
+                      nbins: int = 64, return_bounds: bool = False):
     """Mergeable per-key equi-width histogram — the sketch-grade swap for
     exact grouped quantiles (``relational.grouped_quantiles`` / q62)
     documented there: instead of shuffling every raw value to its key's
@@ -106,6 +106,8 @@ def grouped_histogram(ds, key: str, value_col: str, *,
 
     Returns a pandas frame (key, bin_id int64, n int64) sorted by
     (key, bin_id); feed it to :func:`histogram_quantiles` for estimates.
+    ``return_bounds`` additionally returns the (key, lo, hi) bounds frame
+    histogram_quantiles needs (the sketch alone cannot recover it).
     """
     proj = ds.select_columns([key, value_col])
 
@@ -146,6 +148,8 @@ def grouped_histogram(ds, key: str, value_col: str, *,
     out = (partials.groupby([key, "bin_id"], sort=False)["n"].sum()
            .astype("int64").reset_index()
            .sort_values([key, "bin_id"]).reset_index(drop=True))
+    if return_bounds:
+        return out, bounds.reset_index()
     return out
 
 

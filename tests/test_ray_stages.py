@@ -620,6 +620,35 @@ def test_flagship_dedup_apply_modes(ray_session):
     assert ("https://c.example/z", str(ts(4))) in e_b  # empty exempt
 
 
+def test_grouped_quantiles_sketch_mode(ray_session):
+    """method='sketch' on grouped_quantiles: histogram-backed estimates
+    stay within one bin width of the exact per-key quantiles on the real
+    sf0.1 events table (the q62 workload), with identical output shape."""
+    import ray.data
+    from pdf_parser_ray.stages.relational import grouped_quantiles
+    path = "/root/testdata/sf0.1/events.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.1 testdata not present")
+    ds = ray.data.read_parquet(path, columns=["event_type", "value"])
+    exact = grouped_quantiles(ds, "event_type", "value",
+                              quantiles=(0.5, 0.9, 0.99))
+    nbins = 64
+    approx = grouped_quantiles(ds, "event_type", "value",
+                               quantiles=(0.5, 0.9, 0.99),
+                               method="sketch", nbins=nbins)
+    assert list(exact.columns) == list(approx.columns)
+    assert list(exact.event_type) == list(approx.event_type)
+    vals = pd.read_parquet(path, columns=["event_type", "value"])
+    spans = vals.groupby("event_type")["value"].agg(["min", "max"])
+    bin_w = ((spans["max"] - spans["min"]) / nbins).to_dict()
+    for _, e_row in exact.iterrows():
+        a_row = approx[approx.event_type == e_row.event_type].iloc[0]
+        w = bin_w[e_row.event_type]
+        for c in ("q50", "q90", "q99"):
+            assert abs(e_row[c] - a_row[c]) <= w + 1e-9, (
+                e_row.event_type, c, e_row[c], a_row[c], w)
+
+
 def test_sketches(ray_session):
     """KMV sketch content is deterministic and its estimate (like HLL's)
     lands within sane error of the exact distinct count."""
@@ -1423,3 +1452,24 @@ def test_decode_wav_real(ray_session):
     f = np.array(r.features)
     assert abs(f[0] - 0.5 / np.sqrt(2)) < 0.01      # RMS of a sine
     assert len(f) == 32 and f[2:].max() > 0          # spectral mass
+
+
+def test_decode_corrupt_magic_fake_mode(ray_session):
+    """Corrupt payloads behind a real magic (P6/RIFF) must fall back to
+    the deterministic fake in fake mode — never raise (advisor finding)
+    — and still raise in strict mode."""
+    import ray.data
+    from pdf_parser_ray.stages.multimodal import (decode_audio_dataset,
+                                                  decode_media_dataset)
+    bad_ppm = b"P6\n8 6\n255\ntoo-short"
+    bad_wav = b"RIFFgarbage-not-a-wave-file"
+    imgs = ray.data.from_items([{"media_id": 1, "payload": bad_ppm}])
+    out = decode_media_dataset(imgs).to_pandas()
+    assert out.iloc[0]["mime"] == "image/fake"
+    auds = ray.data.from_items([{"media_id": 1, "payload": bad_wav}])
+    out2 = decode_audio_dataset(auds).to_pandas()
+    assert out2.iloc[0]["mime"] == "audio/fake"
+    with pytest.raises(Exception):
+        decode_media_dataset(imgs, mode="strict").to_pandas()
+    with pytest.raises(Exception):
+        decode_audio_dataset(auds, mode="strict").to_pandas()
