@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in round 4
         "q66_pagerank_distributed": Q.q66_pagerank_distributed,
         "q67_incremental_minhash": Q.q67_incremental_minhash,
+        "q68_bigram_pmi": Q.q68_bigram_pmi,
+        "q69_redact_pii": Q.q69_redact_pii,
+        "q70_quality_top_p": Q.q70_quality_top_p,
         # -- dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -365,6 +368,72 @@ def oracle_sql() -> dict[str, str]:
               FROM t WHERE len(toks) >= 2)
             SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c FROM b
             GROUP BY bigram ORDER BY c DESC, bigram LIMIT 40""",
+        "q68_bigram_pmi": r"""
+            WITH t AS (
+              SELECT regexp_extract_all(lower(text), '\S+') AS toks
+              FROM documents),
+            b AS (
+              SELECT unnest([toks[i] || ' ' || toks[i+1]
+                             for i in generate_series(1, len(toks) - 1)])
+                         AS bigram
+              FROM t WHERE len(toks) >= 2),
+            bc AS (SELECT bigram, COUNT(*) AS c FROM b GROUP BY 1),
+            u AS (SELECT unnest(toks) AS tok FROM t),
+            uc AS (SELECT tok, COUNT(*) AS c1 FROM u GROUP BY 1),
+            n1 AS (SELECT CAST(SUM(c1) AS DOUBLE) AS v FROM uc),
+            n2 AS (SELECT CAST(SUM(c) AS DOUBLE) AS v FROM bc)
+            SELECT bigram, CAST(bc.c AS BIGINT) AS c,
+                   ROUND(ln((bc.c / n2.v) /
+                            ((ua.c1 / n1.v) * (ub.c1 / n1.v))), 6) AS pmi
+            FROM bc, n1, n2, uc ua, uc ub
+            WHERE bc.c >= 5
+              AND ua.tok = split_part(bigram, ' ', 1)
+              AND ub.tok = split_part(bigram, ' ', 2)
+            ORDER BY pmi DESC, bigram LIMIT 40""",
+        "q69_redact_pii": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or +1 555-'
+                          || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+              FROM documents),
+            e AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS text1
+              FROM s)
+            SELECT doc_id,
+                   regexp_replace(text1, '\+\d{1,2}[ \-]\d{3}[ \-]\d{4}',
+                                  '<PHONE>', 'g') AS clean_text,
+                   n_email + CAST(len(regexp_extract_all(text1,
+                       '\+\d{1,2}[ \-]\d{3}[ \-]\d{4}')) AS BIGINT)
+                       AS n_redacted
+            FROM e ORDER BY doc_id""",
+        "q70_quality_top_p": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+              FROM documents),
+            freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+            tot AS (SELECT SUM(c) AS t FROM freq),
+            score AS (
+              SELECT toks.doc_id,
+                     ROUND(AVG(ln(freq.c / tot.t)), 6) AS logprob_mean
+              FROM toks, freq, tot
+              WHERE toks.tok = freq.tok GROUP BY toks.doc_id),
+            j AS (
+              SELECT s.doc_id, d.lang, s.logprob_mean,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY s.logprob_mean DESC, s.doc_id) AS rnk,
+                     COUNT(*) OVER (PARTITION BY d.lang) AS n
+              FROM score s JOIN documents d USING (doc_id))
+            SELECT doc_id, lang, logprob_mean, CAST(rnk AS BIGINT) AS rnk
+            FROM j WHERE rnk <= CEIL(n * 0.25) ORDER BY lang, rnk""",
         "q25_top_tokens": r"""
             SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
               SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok

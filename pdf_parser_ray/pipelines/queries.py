@@ -984,6 +984,51 @@ def q67_incremental_minhash(sf_dir: str) -> pd.DataFrame:
         "matched_src": pd.Series(flag, dtype="int64")})
 
 
+def q68_bigram_pmi(sf_dir: str) -> pd.DataFrame:
+    """Collocation mining: top-40 token bigrams by PMI (min count 5) —
+    combiner-shaped distributed unigram+bigram counts, driver sees only
+    the Zipf-tiny candidate set."""
+    ds = _read(sf_dir, "documents").select_columns(["text"])
+    out = TS.bigram_pmi(ds, "text", min_count=5, k=40)
+    out["c"] = out["c"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q69_redact_pii(sf_dir: str) -> pd.DataFrame:
+    """PII scrub: emails/phones regex-redacted per document (pure
+    vectorized per-batch map, zero shuffles). The corpus has no PII, so
+    the query injects deterministic synthetic contact lines first — the
+    oracle injects the identical lines in SQL — making the redaction
+    rule itself what the hash pins."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def inject(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        ids = out["doc_id"].astype("int64")
+        out["text"] = (out["text"].fillna("")
+                       + " contact: user" + ids.astype(str)
+                       + "@example.com or +1 555-"
+                       + (1000 + ids % 9000).astype(str))
+        return out
+
+    seeded = ds.map_batches(inject, batch_format="pandas")
+    out = TS.redact_pii(seeded, "doc_id").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_redacted"] = out["n_redacted"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q70_quality_top_p(sf_dir: str) -> pd.DataFrame:
+    """Quality-weighted curation: keep each language's top 25% of
+    documents by unigram-LM likelihood (rank on the 6dp-rounded score,
+    doc_id tie-break)."""
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "text"])
+    out = TS.quality_top_p(ds, "doc_id", "lang", "text", p=0.25)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
 def q49_corpus_pipeline(sf_dir: str) -> pd.DataFrame:
     """The end-to-end LLM-corpus pipeline as ONE streaming composition —
     quality filter → exact dedup → temperature rebalancing → train

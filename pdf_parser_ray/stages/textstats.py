@@ -708,3 +708,152 @@ def pack_documents(ds, id_col: str, text_col: str = "text", *,
         return g
 
     return proj.groupby("shard").map_groups(pack, batch_format="pandas")
+
+
+def bigram_pmi(ds, text_col: str = "text", *, min_count: int = 5,
+               k: int = 40, n_parts: int = 64,
+               batch_size: int = 1024) -> pd.DataFrame:
+    """Collocation mining: pointwise mutual information of token bigrams,
+
+        pmi(a b) = ln( (c_ab / N2) / ((c_a / N1) * (c_b / N1)) )
+
+    over whitespace-lowercase tokens (the q25/q28 tokenizer). Shuffle
+    discipline: bigram and unigram counts are both combiner-shaped
+    (per-batch distinct-gram partials → coarsened ``groupby(gram-hash)``
+    distributed combine — one row per distinct gram ever moves); only
+    the bigrams surviving ``min_count`` (a tiny candidate set by Zipf)
+    and the unigram counts of THEIR component tokens reach the driver.
+    Totals N1/N2 are scalar partial sums. Returns the top ``k`` rows by
+    (pmi rounded to 6dp desc, bigram asc) — rounding first so the
+    ordering is bit-stable against SQL float op-order differences.
+    """
+    from .relational import add_coarse_part
+
+    def gram_counts(n):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            vc = _ngram_series(df[text_col], n).value_counts()
+            return pd.DataFrame({"tok": vc.index.astype("object"),
+                                 "c": vc.to_numpy(dtype="int64")})
+        return f
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("tok", sort=False)["c"].sum().reset_index()
+        agg["c"] = agg["c"].astype("int64")
+        return agg[["tok", "c"]]
+
+    def counts_ds(n):
+        parts = (ds.select_columns([text_col])
+                 .map_batches(gram_counts(n), batch_format="pandas",
+                              batch_size=batch_size))
+        return (add_coarse_part(parts, "tok", n_parts)
+                .groupby("_kpart").map_groups(combine,
+                                              batch_format="pandas"))
+
+    uni = counts_ds(1).materialize()
+    bi = counts_ds(2).materialize()
+
+    def total(cds) -> int:
+        def s(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"t": [int(df["c"].sum())]})
+        return int(cds.map_batches(
+            s, batch_format="pandas").to_pandas()["t"].sum())
+
+    n1 = total(uni)
+    n2 = total(bi)
+
+    cand = bi.filter(
+        expr=f"c >= {int(min_count)}").to_pandas()  # tiny by Zipf
+    if cand.empty:
+        return pd.DataFrame({"bigram": pd.Series(dtype="object"),
+                             "c": pd.Series(dtype="int64"),
+                             "pmi": pd.Series(dtype="float64")})
+    comp = cand["tok"].str.split(" ", n=1, expand=True)
+    need = set(comp[0]) | set(comp[1])
+
+    def pick(df: pd.DataFrame, _need=need) -> pd.DataFrame:
+        return df[df["tok"].isin(_need)]
+
+    uc = uni.map_batches(pick, batch_format="pandas").to_pandas()
+    cmap = dict(zip(uc["tok"], uc["c"].astype("int64")))
+    ca = comp[0].map(cmap).to_numpy(np.float64)
+    cb = comp[1].map(cmap).to_numpy(np.float64)
+    c2 = cand["c"].to_numpy(np.float64)
+    # mirror the oracle's parenthesization exactly
+    pmi = np.log((c2 / n2) / ((ca / n1) * (cb / n1)))
+    out = pd.DataFrame({"bigram": cand["tok"].to_numpy(),
+                        "c": cand["c"].astype("int64").to_numpy(),
+                        "pmi": np.round(pmi, 6)})
+    out = out.sort_values(["pmi", "bigram"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    return out.reset_index(drop=True)
+
+
+# deterministic, SQL-replicable (RE2-safe) redaction patterns
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+\d{1,2}[ \-]\d{3}[ \-]\d{4}", "<PHONE>"),
+)
+
+
+def redact_pii(ds, id_col: str, text_col: str = "text", *,
+               patterns=PII_PATTERNS, batch_size: int = 1024):
+    """Training-data PII scrub: regex-redact emails/phone numbers per
+    document — a pure per-batch vectorized map (compiled patterns,
+    ``Series.str`` kernels, zero shuffles, embarrassingly parallel at
+    any scale). Returns a Dataset of (id, clean_text, n_redacted).
+
+    Patterns are RE2-compatible (no backrefs/lookaround) so the exact
+    rule is SQL-replicable for the oracle; extend ``patterns`` for
+    SSNs/IP addresses/credit cards as policy requires.
+    """
+    import re
+
+    compiled = [(re.compile(p), rep) for p, rep in patterns]
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        text = df[text_col].fillna("")
+        n = pd.Series(np.zeros(len(df), dtype=np.int64),
+                      index=text.index)
+        for rx, rep in compiled:
+            n += text.str.count(rx).astype("int64")
+            text = text.str.replace(rx, rep, regex=True)
+        return pd.DataFrame({id_col: df[id_col],
+                             "clean_text": text,
+                             "n_redacted": n.astype("int64")})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        scrub, batch_format="pandas", batch_size=batch_size)
+
+
+def quality_top_p(ds, id_col: str, group_col: str, text_col: str = "text",
+                  *, p: float = 0.25, n_parts: int = 64,
+                  batch_size: int = 1024) -> pd.DataFrame:
+    """Quality-weighted selection: keep each group's top ``p`` fraction
+    of documents by unigram-LM corpus likelihood (:func:`unigram_logprob`)
+    — the "train on the best quarter per language" curation step.
+
+    Composition: the fit-then-score pass produces (id, score); group
+    sizes come from the same frame; the cut is rank ≤ ceil(p·n_group)
+    ordered by (score ROUNDED to 6dp desc, id asc) — ranking on the
+    rounded score makes the kept set bit-stable against float op-order
+    differences between numpy and the SQL oracle. Scores are
+    driver-small (two int/float columns); the text never leaves the
+    scoring pass."""
+    import math
+
+    scored = unigram_logprob(ds, id_col, text_col,
+                             batch_size=batch_size, n_parts=n_parts)
+    groups = (ds.select_columns([id_col, group_col])
+              .to_pandas())
+    merged = scored.merge(groups, on=id_col)
+    merged = merged.sort_values(
+        ["logprob_mean", id_col], ascending=[False, True],
+        kind="mergesort")
+    merged["rnk"] = merged.groupby(group_col, sort=False).cumcount() + 1
+    sizes = merged.groupby(group_col, sort=False)[id_col].transform("size")
+    cut = (sizes * p).apply(lambda x: math.ceil(x - 1e-9)).astype("int64")
+    kept = merged[merged["rnk"] <= cut]
+    out = kept[[id_col, group_col, "logprob_mean", "rnk"]].copy()
+    out["rnk"] = out["rnk"].astype("int64")
+    return (out.sort_values([group_col, "rnk"])
+            .reset_index(drop=True))

@@ -1473,3 +1473,62 @@ def test_decode_corrupt_magic_fake_mode(ray_session):
         decode_media_dataset(imgs, mode="strict").to_pandas()
     with pytest.raises(Exception):
         decode_audio_dataset(auds, mode="strict").to_pandas()
+
+
+def test_bigram_pmi(ray_session):
+    """PMI math on a hand-checkable corpus: an always-together pair
+    scores ln((c2/N2)/((ca/N1)^2)) and ranks above a split pair."""
+    import math
+
+    import ray.data
+    from pdf_parser_ray.stages.textstats import bigram_pmi
+    rows = ([{"text": "alpha beta"}] * 6          # 'alpha beta' x6
+            + [{"text": "gamma delta"}] * 5       # 'gamma delta' x5
+            + [{"text": "gamma epsilon"}] * 5)    # dilutes gamma
+    out = bigram_pmi(ray.data.from_items(rows).repartition(4),
+                     "text", min_count=5, k=10, n_parts=4)
+    n1, n2 = 32.0, 16.0
+    expect_ab = round(math.log((6 / n2) / ((6 / n1) * (6 / n1))), 6)
+    got = dict(zip(out.bigram, out.pmi))
+    assert got["alpha beta"] == expect_ab
+    assert got["alpha beta"] > got["gamma delta"]
+    assert list(out.columns) == ["bigram", "c", "pmi"]
+
+
+def test_redact_pii(ray_session):
+    """Email+phone redaction counts and replaces every occurrence; clean
+    text passes through untouched."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import redact_pii
+    rows = [
+        {"doc_id": 1, "text": "mail a.b-c_d@ex-ample.org and "
+                              "second@x.io or call +44 123-4567"},
+        {"doc_id": 2, "text": "no pii here"},
+        {"doc_id": 3, "text": None},
+    ]
+    out = (redact_pii(ray.data.from_items(rows), "doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.n_redacted.tolist() == [3, 0, 0]
+    assert out.clean_text[0] == ("mail <EMAIL> and <EMAIL> or "
+                                 "call <PHONE>")
+    assert out.clean_text[1] == "no pii here"
+    assert out.clean_text[2] == ""
+
+
+def test_quality_top_p(ray_session):
+    """Per-group top-p cut: ceil(p*n) rows per group, ranked by rounded
+    score then id."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import quality_top_p
+    # 'common common' scores higher (frequent tokens) than rare strings
+    rows = ([{"doc_id": i, "lang": "en", "text": "common common"}
+             for i in range(3)]
+            + [{"doc_id": 10 + i, "lang": "en", "text": f"rare{i} x"}
+               for i in range(5)]
+            + [{"doc_id": 100, "lang": "zh", "text": "common solo"}])
+    out = quality_top_p(ray.data.from_items(rows), "doc_id", "lang",
+                        "text", p=0.5, n_parts=4)
+    en = out[out.lang == "en"]
+    assert len(en) == 4                       # ceil(0.5 * 8)
+    assert set(en.doc_id[:3]) == {0, 1, 2}    # high-likelihood docs lead
+    assert len(out[out.lang == "zh"]) == 1    # ceil(0.5 * 1)
