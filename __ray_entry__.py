@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q68_bigram_pmi": Q.q68_bigram_pmi,
         "q69_redact_pii": Q.q69_redact_pii,
         "q70_quality_top_p": Q.q70_quality_top_p,
+        "q71_asof_join_shuffle": Q.q71_asof_join_shuffle,
+        "q72_running_total": Q.q72_running_total,
         # -- dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -368,6 +370,22 @@ def oracle_sql() -> dict[str, str]:
               FROM t WHERE len(toks) >= 2)
             SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c FROM b
             GROUP BY bigram ORDER BY c DESC, bigram LIMIT 40""",
+        # identical SQL to q16 by design: pins the broadcast and
+        # shuffle as-of-join modes hash-equal (the q47/q66 pattern)
+        "q71_asof_join_shuffle": """
+            SELECT e.event_id, o.o_orderkey
+            FROM events e ASOF JOIN (
+              SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY 1, 2) o
+            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id""",
+        "q72_running_total": """
+            SELECT o_orderkey, o_custkey,
+                   ROUND(SUM(o_totalprice) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING), 2) AS running
+            FROM orders ORDER BY o_orderkey""",
         "q68_bigram_pmi": r"""
             WITH t AS (
               SELECT regexp_extract_all(lower(text), '\S+') AS toks

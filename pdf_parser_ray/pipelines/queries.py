@@ -984,6 +984,51 @@ def q67_incremental_minhash(sf_dir: str) -> pd.DataFrame:
         "matched_src": pd.Series(flag, dtype="int64")})
 
 
+def q71_asof_join_shuffle(sf_dir: str) -> pd.DataFrame:
+    """q16's as-of join with NEITHER side broadcast: orders pre-dedupe
+    to (custkey, date, max orderkey) as a Dataset, both sides meet in
+    one coarsened key-hash exchange, merge_asof runs in-partition. Same
+    oracle as q16 — the driver pins the broadcast and shuffle as-of
+    modes hash-equal (the q47/q66 pattern)."""
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderdate", "o_orderkey"])
+    right = R.pre_aggregate(orders, ["o_custkey", "o_orderdate"],
+                            {"o_orderkey": ("o_orderkey", "max")})
+    import ray.data
+    right_ds = ray.data.from_pandas(right).repartition(4)
+    ds = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts"])
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"o_custkey": "user_id",
+                                  "o_orderdate": "ts"})
+
+    out = R.asof_join_shuffle(
+        ds, right_ds.map_batches(rename, batch_format="pandas"),
+        key="user_id", right_key="user_id", ts="ts", right_ts="ts",
+        value_cols=["o_orderkey"]).to_pandas()
+    out = out[["event_id", "o_orderkey"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q72_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-customer running order total (cumulative window SUM ordered
+    by date then orderkey) — one coarsened exchange, vectorized
+    in-partition grouped cumsum."""
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+    out = R.grouped_running_sum(
+        ds, "o_custkey", ["o_orderdate", "o_orderkey"],
+        "o_totalprice").to_pandas()
+    out = out[["o_orderkey", "o_custkey", "running"]]
+    out["running"] = out["running"].round(2)
+    for c in ("o_orderkey", "o_custkey"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q68_bigram_pmi(sf_dir: str) -> pd.DataFrame:
     """Collocation mining: top-40 token bigrams by PMI (min count 5) —
     combiner-shaped distributed unigram+bigram counts, driver sees only

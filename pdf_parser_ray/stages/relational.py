@@ -569,3 +569,87 @@ def grouped_count_distinct(ds, key_expr_col: str, value_col: str, *,
 
     return (add_coarse_part(pruned, key_expr_col, n_parts)
             .groupby("_kpart").map_groups(final, batch_format="pyarrow"))
+
+
+def asof_join_shuffle(left_ds, right_ds, *, key: str, right_key: str,
+                      ts: str, right_ts: str, value_cols: list[str],
+                      n_parts: int = 64, batch_size: int = 8192):
+    """Big-to-big as-of join: neither side broadcasts.
+
+    The scale twin of :func:`asof_join_backward` (whose right side is a
+    ``ray.put`` pandas frame): both sides project to (key, ts, payload),
+    align to one schema with typed nulls plus a side tag, union, and a
+    single coarsened ``groupby(key-hash)`` co-locates every row of a key
+    from both sides; a vectorized in-partition ``merge_asof`` (sorted by
+    ts, by=key) finishes. Inner semantics — left rows with no earlier
+    right row are dropped, matching the broadcast version. One exchange,
+    each input row moves once; identical output to the broadcast path.
+    """
+    import numpy as np
+
+    left_pay = [c for c in left_ds.schema().names if c not in (key, ts)]
+
+    def lrows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key, ts, *left_pay]].copy()
+        for c in value_cols:
+            out[c] = np.nan
+        out["_side"] = np.int8(0)
+        return out
+
+    def rrows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[right_key, right_ts, *value_cols]].rename(
+            columns={right_key: key, right_ts: ts})
+        for c in left_pay:
+            out[c] = None
+        out["_side"] = np.int8(1)
+        return out[[key, ts, *left_pay, *value_cols, "_side"]]
+
+    unioned = (left_ds.map_batches(lrows, batch_format="pandas",
+                                   batch_size=batch_size)
+               .union(right_ds.map_batches(rrows, batch_format="pandas",
+                                           batch_size=batch_size)))
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        df = group
+        lt = df[df["_side"] == 0]
+        rt = df[df["_side"] == 1]
+        if lt.empty or rt.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="object")
+                 for c in (key, ts, *left_pay, *value_cols)})
+        l = lt[[key, ts, *left_pay]].sort_values(ts, kind="mergesort")
+        r = rt[[key, ts, *value_cols]].sort_values(ts, kind="mergesort")
+        # arrow round-trips yield mixed s/us/ns resolutions; merge_asof
+        # requires identical dtypes
+        l = l.copy()
+        r = r.copy()
+        l[ts] = l[ts].astype("datetime64[ns]")
+        r[ts] = r[ts].astype("datetime64[ns]")
+        out = pd.merge_asof(l, r, on=ts, by=key, direction="backward")
+        return out.dropna(subset=value_cols)
+
+    return (add_coarse_part(unioned, key, n_parts)
+            .groupby("_kpart")
+            .map_groups(lambda g: merge(g.drop(columns=["_kpart"])),
+                        batch_format="pandas"))
+
+
+def grouped_running_sum(ds, key: str, order_by: list[str],
+                        value_col: str, *, out_col: str = "running",
+                        n_parts: int = 64):
+    """Cumulative SUM(value) OVER (PARTITION BY key ORDER BY order_by
+    ROWS UNBOUNDED PRECEDING) — the running-total window the feature
+    pipelines ask for. Same coarsened-shuffle shape as
+    :func:`grouped_rank`: one exchange on the hashed key, vectorized
+    in-partition sort + grouped cumsum over every key the partition
+    holds; deterministic via full order_by tie-breaks."""
+    def accum(group: pa.Table) -> pa.Table:
+        df = (group.to_pandas()
+              .sort_values([key, *order_by], kind="mergesort"))
+        df[out_col] = (df.groupby(key, sort=False)[value_col]
+                       .cumsum().astype("float64"))
+        return pa.Table.from_pandas(df.drop(columns=["_kpart"]),
+                                    preserve_index=False)
+
+    return (add_coarse_part(ds, key, n_parts)
+            .groupby("_kpart").map_groups(accum, batch_format="pyarrow"))

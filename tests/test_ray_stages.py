@@ -1532,3 +1532,45 @@ def test_quality_top_p(ray_session):
     assert len(en) == 4                       # ceil(0.5 * 8)
     assert set(en.doc_id[:3]) == {0, 1, 2}    # high-likelihood docs lead
     assert len(out[out.lang == "zh"]) == 1    # ceil(0.5 * 1)
+
+
+def test_asof_join_shuffle_parity(ray_session):
+    """Shuffle-mode as-of join matches the broadcast path exactly,
+    including left rows with no earlier right row being dropped."""
+    import datetime as dt
+
+    import ray.data
+    from pdf_parser_ray.stages.relational import (asof_join_backward,
+                                                  asof_join_shuffle)
+    def d(day):
+        return dt.datetime(2021, 1, day)
+    left_rows = [{"eid": i, "k": i % 3, "ts": d(1 + i % 9)}
+                 for i in range(40)]
+    right_rows = [{"k": 0, "rts": d(2), "v": 10},
+                  {"k": 0, "rts": d(5), "v": 11},
+                  {"k": 1, "rts": d(4), "v": 20}]  # k=2 never matches
+    left = ray.data.from_items(left_rows).repartition(4)
+    rdf = pd.DataFrame(right_rows)
+    bc = (asof_join_backward(left, rdf, key="k", right_key="k",
+                             ts="ts", right_ts="rts", value_cols=["v"])
+          .to_pandas().sort_values("eid").reset_index(drop=True))
+    sh = (asof_join_shuffle(left, ray.data.from_items(right_rows)
+                            .repartition(2),
+                            key="k", right_key="k", ts="ts",
+                            right_ts="rts", value_cols=["v"], n_parts=4)
+          .to_pandas().sort_values("eid").reset_index(drop=True))
+    assert bc[["eid", "v"]].values.tolist() == \
+        sh[["eid", "v"]].values.tolist()
+    assert not (sh["eid"] % 3 == 2).any()  # k=2 rows dropped
+
+
+def test_grouped_running_sum(ray_session):
+    """Running total per key follows the order_by sequence."""
+    import ray.data
+    from pdf_parser_ray.stages.relational import grouped_running_sum
+    rows = [{"k": "a", "o": 2, "v": 1.5}, {"k": "a", "o": 1, "v": 1.0},
+            {"k": "b", "o": 1, "v": 5.0}, {"k": "a", "o": 3, "v": 0.25}]
+    out = (grouped_running_sum(ray.data.from_items(rows).repartition(2),
+                               "k", ["o"], "v", n_parts=2)
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    assert out["running"].tolist() == [1.0, 2.5, 2.75, 5.0]
