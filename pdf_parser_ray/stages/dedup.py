@@ -626,7 +626,10 @@ def verify_pairs_distributed(ds, pairs, id_col: str,
         n_parts = max(1, min(n_parts, len(pairs)))
         pair_ds = _pairs_dataset(pairs)
     else:
-        pair_ds = pairs
+        # consumed three times (routing, pair rows, bloom); leaving it
+        # lazy re-executes the whole banding/emit upstream per consumer
+        # (the q47 lazy-edge lesson — measured ~3x on q23/q24)
+        pair_ds = pairs.materialize()
 
     cols = ["vpart", "kind", "pid", "payload", "a", "b"]
 
@@ -658,7 +661,53 @@ def verify_pairs_distributed(ds, pairs, id_col: str,
         return out.drop_duplicates()
 
     routing = pair_ds.map_batches(route_rows, batch_format="pandas")
-    hits = shuffle_join(ds, routing, left_on=id_col, right_on="pid",
+
+    # Bloom semi-join pushdown: at real scale candidates are a tiny
+    # fraction of the corpus, but the routing join would still move
+    # every corpus row through the exchange once. A FIXED-size bloom of
+    # candidate ids (default 2^23 bits = 1 MiB regardless of candidate
+    # count; bit positions stream through the driver, O(1) retained)
+    # broadcasts once and prunes non-candidate rows BEFORE the shuffle;
+    # false positives just drop in the inner merge. In the doubled-
+    # corpus oracle tests every id is a candidate, so this prunes
+    # nothing there — it pays off on real corpora with rare dups.
+    import ray
+
+    m_bits = 1 << 23
+    words = np.zeros(m_bits >> 6, dtype=np.uint64)
+
+    def bloom_positions(ids: np.ndarray) -> np.ndarray:
+        pos = np.empty(len(ids) * 2, dtype=np.uint64)
+        u = ids.astype(np.uint64)
+        pos[0::2] = _mix64(u) % np.uint64(m_bits)
+        pos[1::2] = _mix64(u ^ np.uint64(0x9E3779B97F4A7C15)) \
+            % np.uint64(m_bits)
+        return pos
+
+    def pos_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(np.concatenate([df["a"].to_numpy(np.int64),
+                                        df["b"].to_numpy(np.int64)]))
+        return pd.DataFrame({"p": np.unique(bloom_positions(ids))})
+
+    for batch in (pair_ds.map_batches(pos_rows, batch_format="pandas")
+                  .iter_batches(batch_format="pandas")):
+        p = batch["p"].to_numpy(np.uint64)
+        np.bitwise_or.at(words, (p >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (p & np.uint64(63)))
+    bloom_ref = ray.put(words)
+
+    def bloom_keep(df: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(bloom_ref)
+        ids = df[id_col].to_numpy(np.int64)
+        pos = bloom_positions(ids).reshape(-1, 2)
+        def bit(p):
+            return (w[(p >> np.uint64(6)).astype(np.int64)]
+                    >> (p & np.uint64(63))) & np.uint64(1)
+        keep = (bit(pos[:, 0]) & bit(pos[:, 1])).astype(bool)
+        return df[keep]
+
+    pruned = ds.map_batches(bloom_keep, batch_format="pandas")
+    hits = shuffle_join(pruned, routing, left_on=id_col, right_on="pid",
                         n_parts=n_parts)
 
     def payload_rows(df: pd.DataFrame) -> pd.DataFrame:
