@@ -1196,7 +1196,7 @@ def build_fingerprint_index(ds, id_col: str, text_col: str,
 
 def dedup_against_index(new_ds, index_dir: str, id_col: str,
                         text_col: str, *, n_buckets: int = 64,
-                        batch_size: int = 1024) -> pd.DataFrame:
+                        batch_size: int = 1024, as_dataset: bool = False):
     """Check a NEW shard against a :func:`build_fingerprint_index`
     corpus index: returns (id, match_id) for every new doc whose
     fingerprint already exists (match_id = smallest indexed id). Only
@@ -1204,6 +1204,12 @@ def dedup_against_index(new_ds, index_dir: str, id_col: str,
     read — a new wave that is small or skewed prunes most of the index
     from disk, and the join itself is the coarsened big-to-big
     ``shuffle_join`` on the fingerprint, so neither side is collected.
+
+    Default returns a driver pandas frame (O(matched new docs) —
+    query-surface convenience); ``as_dataset=True`` keeps the matches a
+    Dataset for ingest waves where even the match list is big (the
+    per-partition min is already global per id, so only a cross-block
+    min fold remains — done with one coarsened groupby).
     """
     import os
 
@@ -1247,7 +1253,19 @@ def dedup_against_index(new_ds, index_dir: str, id_col: str,
         g["match_id"] = g["match_id"].astype("int64")
         return g
 
-    parts = joined.map_batches(best, batch_format="pandas").to_pandas()
+    partials = joined.map_batches(best, batch_format="pandas")
+    if as_dataset:
+        from .relational import add_coarse_part
+
+        def fold(group: pd.DataFrame) -> pd.DataFrame:
+            g = (group.groupby(id_col, sort=False)["match_id"].min()
+                 .astype("int64").reset_index())
+            return g
+
+        return (add_coarse_part(partials, id_col, 32)
+                .groupby("_kpart").map_groups(fold,
+                                              batch_format="pandas"))
+    parts = partials.to_pandas()
     if not len(parts):
         return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
                              "match_id": pd.Series([], dtype="int64")})

@@ -1366,6 +1366,10 @@ def test_fingerprint_index_incremental(ray_session, tmp_path):
     out = dedup_against_index(ray.data.from_items(new), idx,
                               "doc_id", "text", n_buckets=8)
     assert dict(zip(out.doc_id, out.match_id)) == {100: 1}
+    ds_out = dedup_against_index(ray.data.from_items(new), idx,
+                                 "doc_id", "text", n_buckets=8,
+                                 as_dataset=True).to_pandas()
+    assert dict(zip(ds_out.doc_id, ds_out.match_id)) == {100: 1}
 
 
 def test_minhash_band_index_incremental(ray_session, tmp_path):
