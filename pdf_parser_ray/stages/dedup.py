@@ -592,7 +592,7 @@ def cluster_pairs_dataset(pair_ds, ids_ds, id_col: str, *,
 
 def verify_pairs_distributed(ds, pairs, id_col: str,
                              payload_batch_fn, pair_ok_fn,
-                             *, n_parts: int = 32):
+                             *, pair_ok_batch_fn=None, n_parts: int = 32):
     """Exact-verify candidate pairs without collecting the corpus — and
     (Dataset input) without ever holding the candidate list either.
 
@@ -616,6 +616,11 @@ def verify_pairs_distributed(ds, pairs, id_col: str,
     ``payload_batch_fn(sub_df) -> list[bytes]`` maps a filtered batch
     (id, …) to one packed payload per row (bytes travel as Arrow binary
     through the shuffle; decode inside ``pair_ok_fn``).
+    ``pair_ok_batch_fn(pa_list, pb_list) -> bool array`` replaces the
+    per-pair Python loop with one vectorized call over the partition's
+    whole pair list — provide it whenever the check stacks (embedding
+    dot products); fall back to ``pair_ok_fn`` for genuinely
+    variable-length checks (shingle-set Jaccard).
     """
     from .relational import shuffle_join
 
@@ -729,6 +734,22 @@ def verify_pairs_distributed(ds, pairs, id_col: str,
             return _EMPTY_PAIRS.copy()
         py = group[group["kind"] == 0]
         by_id = dict(zip(py["pid"], py["payload"]))
+        if pair_ok_batch_fn is not None:
+            # vectorized verify over the whole partition's pair list
+            pa_list = [by_id.get(x) for x in todo["a"]]
+            pb_list = [by_id.get(y) for y in todo["b"]]
+            have = np.array([x is not None and y is not None
+                             for x, y in zip(pa_list, pb_list)])
+            if not have.any():
+                return _EMPTY_PAIRS.copy()
+            sub_a = [p for p, h in zip(pa_list, have) if h]
+            sub_b = [p for p, h in zip(pb_list, have) if h]
+            ok = np.zeros(len(todo), dtype=bool)
+            ok[have] = np.asarray(pair_ok_batch_fn(sub_a, sub_b),
+                                  dtype=bool)
+            return pd.DataFrame({
+                "a": todo["a"].to_numpy(np.int64)[ok],
+                "b": todo["b"].to_numpy(np.int64)[ok]})
         ok_a, ok_b = [], []
         for x, y in todo.itertuples(index=False):
             px, pyl = by_id.get(x), by_id.get(y)
@@ -1145,8 +1166,17 @@ def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
         vy = np.frombuffer(by, dtype=np.float64)
         return float(vx @ vy) >= threshold
 
+    def ok_batch(pa_list, pb_list) -> np.ndarray:
+        # one stacked row-wise dot product for the whole partition
+        mx = np.stack([np.frombuffer(b, dtype=np.float64)
+                       for b in pa_list])
+        my = np.stack([np.frombuffer(b, dtype=np.float64)
+                       for b in pb_list])
+        return np.einsum("ij,ij->i", mx, my) >= threshold
+
     verified = verify_pairs_distributed(
-        ds.select_columns([id_col, vec_col]), cand, id_col, payloads, ok)
+        ds.select_columns([id_col, vec_col]), cand, id_col, payloads, ok,
+        pair_ok_batch_fn=ok_batch)
     return cluster_pairs_dataset(verified,
                                  _ids_dataset(ds, id_col, ids), id_col,
                                  n_parts=n_parts)
