@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q70_quality_top_p": Q.q70_quality_top_p,
         "q71_asof_join_shuffle": Q.q71_asof_join_shuffle,
         "q72_running_total": Q.q72_running_total,
+        "q73_duplicate_spans": Q.q73_duplicate_spans,
         # -- dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -386,6 +387,27 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY o_orderdate, o_orderkey
                      ROWS UNBOUNDED PRECEDING), 2) AS running
             FROM orders ORDER BY o_orderkey""",
+        # same-length duplicated k-gram intervals sorted by start cannot
+        # nest, so coverage = SUM(LEAST(k, next_start - start))
+        "q73_duplicate_spans": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, j.j AS pos,
+                     array_to_string(toks[j.j:j.j + 4], ' ') AS gram
+              FROM tok, UNNEST(generate_series(1, len(toks) - 4)) AS j(j)),
+            d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+            p AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+            c AS (
+              SELECT doc_id, pos,
+                     LEAD(pos) OVER (PARTITION BY doc_id
+                                     ORDER BY pos) AS nxt
+              FROM p)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+                   CAST(SUM(LEAST(5, COALESCE(nxt - pos, 5))) AS BIGINT)
+                       AS covered_tokens
+            FROM c GROUP BY 1 ORDER BY 1""",
         "q68_bigram_pmi": r"""
             WITH t AS (
               SELECT regexp_extract_all(lower(text), '\S+') AS toks

@@ -1074,6 +1074,16 @@ def q70_quality_top_p(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q73_duplicate_spans(sf_dir: str) -> pd.DataFrame:
+    """Cross-document repeated-substring statistics (the ExactSubstr
+    measurement): per doc, the count of 5-gram positions whose gram
+    occurs more than once corpus-wide, and the token coverage of those
+    duplicated spans (interval union)."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = TS.duplicate_span_stats(ds, "doc_id", "text", k=5)
+    return out.reset_index(drop=True)
+
+
 def q49_corpus_pipeline(sf_dir: str) -> pd.DataFrame:
     """The end-to-end LLM-corpus pipeline as ONE streaming composition —
     quality filter → exact dedup → temperature rebalancing → train

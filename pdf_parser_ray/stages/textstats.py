@@ -857,3 +857,91 @@ def quality_top_p(ds, id_col: str, group_col: str, text_col: str = "text",
     out["rnk"] = out["rnk"].astype("int64")
     return (out.sort_values([group_col, "rnk"])
             .reset_index(drop=True))
+
+
+def duplicate_span_stats(ds, id_col: str, text_col: str = "text", *,
+                         k: int = 5, n_parts: int = 64,
+                         batch_size: int = 512) -> pd.DataFrame:
+    """Cross-document repeated-substring statistics — the measurement
+    half of ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): for every document, how many
+    of its token ``k``-gram positions start a gram that occurs MORE THAN
+    ONCE anywhere in the corpus (including self-repetition), and how
+    many of its tokens those duplicated spans cover (interval union).
+
+    Distributed shape (two bounded exchanges, no driver gram set —
+    the same co-partition discipline as :func:`ngram_contamination`):
+      1. per-batch vectorized explode into (gram, id, pos) rows;
+      2. coarsened co-partition on hash(gram) — every occurrence of a
+         gram lands in one partition, so a partition-local count IS the
+         global count; emit only the duplicated positions;
+      3. coarsened ``groupby(id)``: per-doc position count + coverage.
+         Same-length intervals sorted by start cannot nest, so the
+         union is one vectorized ``min(k, next_start - start)`` — no
+         interval-merge loop.
+
+    Returns pandas (id, n_dup_grams, covered_tokens) for docs with ≥1
+    duplicated gram (inner semantics), sorted by id. The removal half
+    (cutting covered spans out of the text) is a per-doc map over these
+    positions; the statistics are the cross-document part.
+    """
+    from .relational import add_coarse_part
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.split()
+        t = pd.DataFrame({"id": df[id_col].astype("int64"),
+                          "v": toks}).explode("v").dropna(subset=["v"])
+        if t.empty:
+            return pd.DataFrame({"gram": pd.Series(dtype="object"),
+                                 "id": pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64")})
+        doc = pd.Series(t["id"].to_numpy())
+        vals = pd.Series(t["v"].to_numpy(), dtype="object")
+        pos = doc.groupby(doc, sort=False).cumcount() + 1
+        grams = vals.copy()
+        ok = pd.Series(True, index=vals.index)
+        for i in range(1, k):
+            ok &= doc.shift(-i).eq(doc)
+            grams = grams + " " + vals.shift(-i)
+        return pd.DataFrame({"gram": grams[ok],
+                             "id": doc[ok].astype("int64"),
+                             "pos": pos[ok].astype("int64")})
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pandas", batch_size=batch_size)
+
+    def dup_positions(group: pd.DataFrame) -> pd.DataFrame:
+        n = group.groupby("gram", sort=False)["gram"].transform("size")
+        dup = group[n >= 2]
+        return dup[["id", "pos"]]
+
+    dup_rows = (add_coarse_part(rows, "gram", n_parts)
+                .groupby("_kpart").map_groups(dup_positions,
+                                              batch_format="pandas"))
+
+    def coverage(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group[["id", "pos"]].drop_duplicates()
+             .sort_values(["id", "pos"], kind="mergesort"))
+        nxt = g.groupby("id", sort=False)["pos"].shift(-1)
+        contrib = np.minimum(float(k),
+                             (nxt - g["pos"]).fillna(float(k)))
+        out = pd.DataFrame({
+            "id": g["id"],
+            "n": 1,
+            "cov": contrib.to_numpy(np.float64)})
+        agg = out.groupby("id", sort=False).agg(
+            n_dup_grams=("n", "sum"), covered_tokens=("cov", "sum"))
+        agg = agg.reset_index()
+        agg["n_dup_grams"] = agg["n_dup_grams"].astype("int64")
+        agg["covered_tokens"] = agg["covered_tokens"].astype("int64")
+        return agg
+
+    res = (add_coarse_part(dup_rows, "id", n_parts)
+           .groupby("_kpart").map_groups(coverage, batch_format="pandas")
+           .to_pandas())
+    if res.empty:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "n_dup_grams": pd.Series(dtype="int64"),
+                             "covered_tokens": pd.Series(dtype="int64")})
+    res = res.rename(columns={"id": id_col})
+    return res.sort_values(id_col).reset_index(drop=True)

@@ -1578,3 +1578,33 @@ def test_grouped_running_sum(ray_session):
                                "k", ["o"], "v", n_parts=2)
            .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
     assert out["running"].tolist() == [1.0, 2.5, 2.75, 5.0]
+
+
+def test_duplicate_span_stats(ray_session):
+    """ExactSubstr-style stats on a hand-built corpus: a 5-gram shared
+    by two docs marks one position each; overlapping duplicated grams
+    union their coverage; unique docs are absent."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import duplicate_span_stats
+    shared = "a b c d e"
+    rows = [
+        {"doc_id": 1, "text": f"x {shared} y"},        # pos 2
+        {"doc_id": 2, "text": f"{shared} z"},          # pos 1
+        # doc 3: "a b c d e f" contains "a b c d e" (dup) and
+        # "b c d e f" (unique) -> 1 dup gram, 5 covered
+        {"doc_id": 3, "text": "a b c d e f"},
+        {"doc_id": 4, "text": "totally unique words here only once"},
+    ]
+    out = duplicate_span_stats(ray.data.from_items(rows).repartition(2),
+                               "doc_id", "text", k=5, n_parts=4)
+    got = {r.doc_id: (r.n_dup_grams, r.covered_tokens)
+           for r in out.itertuples()}
+    assert got == {1: (1, 5), 2: (1, 5), 3: (1, 5)}
+    # overlap: doc with "a b c d e a b c d e" -> grams at pos 1 and 6
+    # both equal "a b c d e"-shifted variants; the two occurrences of
+    # the SAME gram within one doc count as duplicated (self-repetition)
+    solo = [{"doc_id": 9, "text": "q w e r t q w e r t"}]
+    out2 = duplicate_span_stats(ray.data.from_items(solo), "doc_id",
+                                "text", k=5, n_parts=2)
+    r = out2.iloc[0]
+    assert (r.n_dup_grams, r.covered_tokens) == (2, 10)
