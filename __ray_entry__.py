@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q71_asof_join_shuffle": Q.q71_asof_join_shuffle,
         "q72_running_total": Q.q72_running_total,
         "q73_duplicate_spans": Q.q73_duplicate_spans,
+        "q74_importance_weights": Q.q74_importance_weights,
         # -- dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -387,6 +388,26 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY o_orderdate, o_orderkey
                      ROWS UNBOUNDED PRECEDING), 2) AS running
             FROM orders ORDER BY o_orderkey""",
+        "q74_importance_weights": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+              FROM documents),
+            tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+            ct AS (
+              SELECT tok, COUNT(*) AS c_all,
+                     SUM(CASE WHEN doc_id IN (SELECT doc_id FROM tgt)
+                              THEN 1 ELSE 0 END) AS c_t
+              FROM toks GROUP BY tok),
+            tot AS (SELECT SUM(c_all) AS n_all, SUM(c_t) AS n_t,
+                           COUNT(*) AS v FROM ct)
+            SELECT toks.doc_id,
+                   ROUND(AVG(ln((ct.c_t + 1) / (tot.n_t + tot.v))
+                             - ln((ct.c_all + 1)
+                                  / (tot.n_all + tot.v))), 6) AS llr
+            FROM toks, ct, tot
+            WHERE toks.tok = ct.tok
+            GROUP BY 1 ORDER BY 1""",
         # same-length duplicated k-gram intervals sorted by start cannot
         # nest, so coverage = SUM(LEAST(k, next_start - start))
         "q73_duplicate_spans": r"""

@@ -1084,6 +1084,23 @@ def q73_duplicate_spans(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q74_importance_weights(sf_dir: str) -> pd.DataFrame:
+    """DSIR-style data selection: per-doc mean unigram log-likelihood
+    ratio of a target-domain LM (lang='en' docs) vs the raw-corpus LM,
+    add-one smoothed over the shared vocabulary."""
+    ds = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "text"])
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["is_target"] = (out["lang"] == "en")
+        return out
+
+    marked = ds.map_batches(mark, batch_format="pandas")
+    return TS.importance_weights(marked, "doc_id", "text",
+                                 target_col="is_target")
+
+
 def q49_corpus_pipeline(sf_dir: str) -> pd.DataFrame:
     """The end-to-end LLM-corpus pipeline as ONE streaming composition —
     quality filter → exact dedup → temperature rebalancing → train

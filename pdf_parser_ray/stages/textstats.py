@@ -945,3 +945,87 @@ def duplicate_span_stats(ds, id_col: str, text_col: str = "text", *,
                              "covered_tokens": pd.Series(dtype="int64")})
     res = res.rename(columns={"id": id_col})
     return res.sort_values(id_col).reset_index(drop=True)
+
+
+def importance_weights(ds, id_col: str, text_col: str = "text", *,
+                       target_col: str, batch_size: int = 1024,
+                       n_parts: int = 64) -> pd.DataFrame:
+    """Data-selection importance weights (DSIR-flavored, Xie et al.
+    2023): per document, the mean unigram log-likelihood ratio between
+    a TARGET-domain language model and the raw-corpus model,
+
+        llr(doc) = mean_w [ ln p_t(w) - ln p_r(w) ]
+
+    with add-one smoothing over the shared vocabulary (p(w) =
+    (c + 1) / (N + V)) so unseen-in-target tokens stay finite and the
+    whole rule is SQL-replicable. High-llr docs look like the target
+    domain; sample proportionally (or top-p) to curate.
+
+    Distributed shape (the q19 fit-then-score pattern, one pass each):
+    per-batch (tok, c_all, c_target) count partials → coarsened
+    ``groupby(tok-hash)`` combine → the ratio table broadcasts once
+    (``ray.put``; prune with a top-K knob at web vocab scale exactly as
+    :func:`unigram_logprob` does) → per-batch vectorized explode → map
+    → groupby-mean. ``target_col`` is a boolean column marking
+    target-domain rows. Returns pandas (id, llr) per doc with ≥1 token.
+    """
+    import ray
+
+    from .relational import add_coarse_part
+
+    proj = ds.select_columns([id_col, text_col, target_col])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.lower().str.split()
+        t = pd.DataFrame({"v": toks,
+                          "is_t": df[target_col].astype(bool)
+                          }).explode("v").dropna(subset=["v"])
+        if t.empty:
+            return pd.DataFrame({"tok": pd.Series(dtype="object"),
+                                 "c_all": pd.Series(dtype="int64"),
+                                 "c_t": pd.Series(dtype="int64")})
+        g = t.groupby("v", sort=False)["is_t"].agg(["size", "sum"])
+        return pd.DataFrame({"tok": g.index.astype("object"),
+                             "c_all": g["size"].to_numpy("int64"),
+                             "c_t": g["sum"].to_numpy("int64")})
+
+    parts = proj.map_batches(part, batch_format="pandas",
+                             batch_size=batch_size)
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("tok", sort=False)[["c_all", "c_t"]].sum()
+        return agg.reset_index()
+
+    vocab = (add_coarse_part(parts, "tok", n_parts)
+             .groupby("_kpart").map_groups(combine,
+                                           batch_format="pandas")
+             .to_pandas())
+    if vocab.empty:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "llr": pd.Series(dtype="float64")})
+    v = float(len(vocab))
+    n_all = float(vocab["c_all"].sum())
+    n_t = float(vocab["c_t"].sum())
+    ratio = (np.log((vocab["c_t"].to_numpy(np.float64) + 1.0)
+                    / (n_t + v))
+             - np.log((vocab["c_all"].to_numpy(np.float64) + 1.0)
+                      / (n_all + v)))
+    table_ref = ray.put(dict(zip(vocab["tok"], ratio)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tab = ray.get(table_ref)
+        toks = df[text_col].fillna("").str.lower().str.split()
+        t = pd.DataFrame({"id": df[id_col].astype("int64"),
+                          "v": toks}).explode("v").dropna(subset=["v"])
+        if t.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "llr": pd.Series(dtype="float64")})
+        t["r"] = t["v"].map(tab)
+        g = t.groupby("id", sort=False)["r"].mean().reset_index()
+        return g.rename(columns={"id": id_col, "r": "llr"})
+
+    out = (proj.map_batches(score, batch_format="pandas",
+                            batch_size=batch_size).to_pandas())
+    out["llr"] = out["llr"].round(6)
+    out[id_col] = out[id_col].astype("int64")
+    return out.sort_values(id_col).reset_index(drop=True)

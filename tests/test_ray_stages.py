@@ -1608,3 +1608,23 @@ def test_duplicate_span_stats(ray_session):
                                 "text", k=5, n_parts=2)
     r = out2.iloc[0]
     assert (r.n_dup_grams, r.covered_tokens) == (2, 10)
+
+
+def test_importance_weights(ray_session):
+    """LLR sign sanity: a doc made of target-only tokens scores higher
+    than one made of off-target tokens; smoothing keeps unseen-in-target
+    tokens finite."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import importance_weights
+    rows = ([{"doc_id": i, "is_t": True, "text": "good clean prose"}
+             for i in range(5)]
+            + [{"doc_id": 10 + i, "is_t": False, "text": "spam junk noise"}
+               for i in range(5)]
+            + [{"doc_id": 100, "is_t": False, "text": "good clean prose"},
+               {"doc_id": 101, "is_t": False, "text": "spam junk noise"}])
+    out = importance_weights(ray.data.from_items(rows).repartition(3),
+                             "doc_id", "text", target_col="is_t",
+                             n_parts=4)
+    llr = dict(zip(out.doc_id, out.llr))
+    assert llr[100] > 0 > llr[101]
+    assert np.isfinite(list(llr.values())).all()
