@@ -46,10 +46,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # by verification value: (1) oracle-bearing queries absent from
     # CORRECTNESS_r03 (q24/q30/q40/q60), (2) queries NEW this round,
     # (3) the remaining oracle-bearing surface, (4) at the tail the
-    # weakest checks — rows-only q31/q50/q51 and the six plain-aggregate
-    # relational queries hash-green in ALL of r1+r2+r3 with unchanged
-    # code (q01-q04/q08/q09). `tools/check_oracle.py` sweeps ALL entries
-    # regardless of this order (r4 full sweep: failures 0).
+    # weakest checks — rows-only q31/q50/q51 and the plain-aggregate /
+    # per-row-map queries hash-green in ALL of r1+r2+r3 with unchanged
+    # code (q01-q04/q08/q09/q13). `tools/check_oracle.py` sweeps ALL
+    # entries regardless of this order (r4 full sweep: failures 0).
     return {
         # -- dropped from the driver's r3 file (ran past its cutoff)
         "q24_embedding_dedup": Q.q24_embedding_dedup,
@@ -60,12 +60,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q66_pagerank_distributed": Q.q66_pagerank_distributed,
         "q67_incremental_minhash": Q.q67_incremental_minhash,
         "q68_bigram_pmi": Q.q68_bigram_pmi,
+        # q29's count column changed this round -> keep driver-verified
+        "q29_active_user_events": Q.q29_active_user_events,
         "q69_redact_pii": Q.q69_redact_pii,
         "q70_quality_top_p": Q.q70_quality_top_p,
         "q71_asof_join_shuffle": Q.q71_asof_join_shuffle,
         "q72_running_total": Q.q72_running_total,
         "q73_duplicate_spans": Q.q73_duplicate_spans,
         "q74_importance_weights": Q.q74_importance_weights,
+        "q75_inactive_customers": Q.q75_inactive_customers,
         # -- dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -78,7 +81,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_doc_stats": Q.q10_doc_stats,
         "q11_lang_pred": Q.q11_lang_pred,
         "q12_quality_filter": Q.q12_quality_filter,
-        "q13_fingerprint": Q.q13_fingerprint,
         "q14_winnow_fingerprint": Q.q14_winnow_fingerprint,
         "q25_top_tokens": Q.q25_top_tokens,
         "q26_inverted_index": Q.q26_inverted_index,
@@ -112,8 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q63_grouped_topk": Q.q63_grouped_topk,
         "q64_stratified_sample": Q.q64_stratified_sample,
         "q65_join_revenue": Q.q65_join_revenue,
-        "q29_active_user_events": Q.q29_active_user_events,
         # -- tail: triple-green plain aggregates (unchanged since r1)
+        "q13_fingerprint": Q.q13_fingerprint,
         "q01_pricing_summary": Q.q01_pricing_summary,
         "q02_segment_revenue": Q.q02_segment_revenue,
         "q03_order_priority": Q.q03_order_priority,
@@ -388,6 +390,12 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY o_orderdate, o_orderkey
                      ROWS UNBOUNDED PRECEDING), 2) AS running
             FROM orders ORDER BY o_orderkey""",
+        "q75_inactive_customers": """
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders
+            WHERE o_custkey NOT IN (SELECT user_id FROM events)
+            GROUP BY 1 ORDER BY 1""",
         "q74_importance_weights": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -1101,6 +1101,24 @@ def q74_importance_weights(sf_dir: str) -> pd.DataFrame:
                                  target_col="is_target")
 
 
+def q75_inactive_customers(sf_dir: str) -> pd.DataFrame:
+    """Shuffle anti-join, big-to-big: customers with orders but NO
+    events — the key set is the whole events user universe, too big to
+    broadcast at web scale, so both sides meet in the coarsened
+    key-hash exchange and the anti filter runs in-partition."""
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_totalprice"])
+    events = _read(sf_dir, "events").select_columns(["user_id"])
+    out = R.shuffle_join(orders, events, left_on="o_custkey",
+                         right_on="user_id", how="anti")
+    agg = R.pre_aggregate(out, ["o_custkey"],
+                          {"n_orders": ("o_totalprice", "count"),
+                           "revenue": ("o_totalprice", "sum")})
+    agg["n_orders"] = agg["n_orders"].astype("int64")
+    agg["revenue"] = agg["revenue"].round(2)
+    return agg.sort_values("o_custkey").reset_index(drop=True)
+
+
 def q49_corpus_pipeline(sf_dir: str) -> pd.DataFrame:
     """The end-to-end LLM-corpus pipeline as ONE streaming composition —
     quality filter → exact dedup → temperature rebalancing → train

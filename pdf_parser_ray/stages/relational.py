@@ -115,11 +115,15 @@ def shuffle_join(left, right, *, left_on: str, right_on: str | None = None,
     num_partitions > free CPUs deadlocks; nested non-key columns are
     rejected), and moves each input row across the wire exactly once.
 
-    ``how`` is ``inner`` or ``left``. Payload column names must be
-    disjoint between the two sides (no suffixing — rename upstream).
-    The right key is renamed to ``left_on`` in the output.
+    ``how`` is ``inner``, ``left``, ``semi`` or ``anti`` — the semi/anti
+    modes are the SHUFFLE twin of :func:`semi_join_broadcast` for when
+    the key set itself is too big to broadcast: output is the left
+    rows whose key does (semi) / does not (anti) appear on the right,
+    left columns only. Payload column names must be disjoint between
+    the two sides (no suffixing — rename upstream). The right key is
+    renamed to ``left_on`` in the output.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported join type {how}")
     right_on = right_on or left_on
 
@@ -140,6 +144,9 @@ def shuffle_join(left, right, *, left_on: str, right_on: str | None = None,
             out[n] = t
         return out
 
+    if how in ("semi", "anti"):
+        # only the key matters on the right: never ship its payload
+        right = right.select_columns([right_on])
     lschema = left.schema()
     rschema = right.schema()
     lpay = [n for n in lschema.names if n != left_on]
@@ -181,16 +188,27 @@ def shuffle_join(left, right, *, left_on: str, right_on: str | None = None,
                                        batch_format="pyarrow",
                                        batch_size=batch_size)))
 
-    out_schema = pa.schema(
-        [pa.field(left_on, key_type)]
-        + [pa.field(n, ltypes[n]) for n in lpay]
-        + [pa.field(n, rtypes[n]) for n in rpay])
+    if how in ("semi", "anti"):
+        out_schema = pa.schema(
+            [pa.field(left_on, key_type)]
+            + [pa.field(n, ltypes[n]) for n in lpay])
+    else:
+        out_schema = pa.schema(
+            [pa.field(left_on, key_type)]
+            + [pa.field(n, ltypes[n]) for n in lpay]
+            + [pa.field(n, rtypes[n]) for n in rpay])
 
     def merge(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         side = group["_side"]
         lt = group.filter(pc.equal(side, 0)).select([left_on, *lpay])
+        if how in ("semi", "anti"):
+            rkeys = group.filter(pc.equal(side, 1))[left_on]
+            mask = pc.is_in(lt[left_on], value_set=rkeys.combine_chunks())
+            if how == "anti":
+                mask = pc.invert(mask)
+            return lt.filter(mask).cast(out_schema)
         rt = group.filter(pc.equal(side, 1)).select([left_on, *rpay])
         out = lt.to_pandas().merge(rt.to_pandas(), on=left_on, how=how)
         if not len(out):

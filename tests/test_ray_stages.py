@@ -1628,3 +1628,25 @@ def test_importance_weights(ray_session):
     llr = dict(zip(out.doc_id, out.llr))
     assert llr[100] > 0 > llr[101]
     assert np.isfinite(list(llr.values())).all()
+
+
+def test_shuffle_join_semi_anti(ray_session):
+    """Shuffle semi/anti modes: left columns only, right payload never
+    ships, duplicates on the right don't duplicate left rows."""
+    import ray.data
+    from pdf_parser_ray.stages.relational import shuffle_join
+    left = ray.data.from_items(
+        [{"k": i, "v": i * 10} for i in range(6)]).repartition(2)
+    right = ray.data.from_items(
+        [{"rk": 1, "junk": "x"}, {"rk": 1, "junk": "y"},
+         {"rk": 3, "junk": "z"}]).repartition(2)
+    semi = (shuffle_join(left, right, left_on="k", right_on="rk",
+                         how="semi", n_parts=4)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    anti = (shuffle_join(left, right, left_on="k", right_on="rk",
+                         how="anti", n_parts=4)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(semi.columns) == ["k", "v"]
+    assert semi.k.tolist() == [1, 3]
+    assert anti.k.tolist() == [0, 2, 4, 5]
+    assert anti.v.tolist() == [0, 20, 40, 50]
