@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q73_duplicate_spans": Q.q73_duplicate_spans,
         "q74_importance_weights": Q.q74_importance_weights,
         "q75_inactive_customers": Q.q75_inactive_customers,
+        "q76_rollup_revenue": Q.q76_rollup_revenue,
         # -- dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -390,6 +391,14 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY o_orderdate, o_orderkey
                      ROWS UNBOUNDED PRECEDING), 2) AS running
             FROM orders ORDER BY o_orderkey""",
+        "q76_rollup_revenue": """
+            SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+            ORDER BY 1, 2""",
         "q75_inactive_customers": """
             SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
                    ROUND(SUM(o_totalprice), 2) AS revenue

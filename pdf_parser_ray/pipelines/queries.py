@@ -1119,6 +1119,28 @@ def q75_inactive_customers(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("o_custkey").reset_index(drop=True)
 
 
+def q76_rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(segment, priority): one streaming pre-aggregate
+    pass at the finest level; coarser levels fold from its partials —
+    the input never re-streams per level."""
+    customer = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderpriority", "o_totalprice"])
+    joined = R.broadcast_join(orders, customer.rename(
+        columns={"c_custkey": "o_custkey"}), on="o_custkey")
+    out = R.rollup_aggregate(
+        joined, ["c_mktsegment", "o_orderpriority"],
+        {"revenue": ("o_totalprice", "sum"),
+         "n_orders": ("o_totalprice", "count")})
+    out = out.rename(columns={"c_mktsegment": "segment",
+                              "o_orderpriority": "priority"})
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (out.sort_values(["segment", "priority"])
+            .reset_index(drop=True))
+
+
 def q49_corpus_pipeline(sf_dir: str) -> pd.DataFrame:
     """The end-to-end LLM-corpus pipeline as ONE streaming composition —
     quality filter → exact dedup → temperature rebalancing → train

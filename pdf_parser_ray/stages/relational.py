@@ -671,3 +671,35 @@ def grouped_running_sum(ds, key: str, order_by: list[str],
 
     return (add_coarse_part(ds, key, n_parts)
             .groupby("_kpart").map_groups(accum, batch_format="pyarrow"))
+
+
+def rollup_aggregate(ds, keys: list[str], aggs: dict, *,
+                     all_label: str = "ALL",
+                     batch_size: int = 8192) -> pd.DataFrame:
+    """GROUP BY ROLLUP(keys...): the finest level runs as ONE
+    :func:`pre_aggregate` pass over the data; every coarser level folds
+    from the finest level's result frame on the driver — partials are
+    O(distinct key combos), so the input streams exactly once no matter
+    how many rollup levels. sum/count fold by sum, min/max by min/max
+    (avg = derive sum/count downstream, as everywhere in this module).
+    Rolled-up key columns carry ``all_label`` (deterministic,
+    SQL-COALESCE-replicable — a NULL would hash differently between
+    pandas and the oracle)."""
+    fine = pre_aggregate(ds, keys, aggs, batch_size=batch_size)
+    fold_fn = {out: ("sum" if fn in ("sum", "count") else fn)
+               for out, (_, fn) in aggs.items()}
+    frames = [fine.copy()]
+    for i in range(len(keys) - 1, -1, -1):
+        lvl = keys[:i]
+        if lvl:
+            g = fine.groupby(lvl, sort=False).agg(
+                {out: fn for out, fn in fold_fn.items()}).reset_index()
+        else:
+            g = pd.DataFrame([{out: (fine[out].sum()
+                                     if fn == "sum" else
+                                     getattr(fine[out], fn)())
+                               for out, fn in fold_fn.items()}])
+        for dropped in keys[i:]:
+            g[dropped] = all_label
+        frames.append(g[[*keys, *fold_fn]])
+    return pd.concat(frames, ignore_index=True)

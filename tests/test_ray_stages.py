@@ -1650,3 +1650,71 @@ def test_shuffle_join_semi_anti(ray_session):
     assert semi.k.tolist() == [1, 3]
     assert anti.k.tolist() == [0, 2, 4, 5]
     assert anti.v.tolist() == [0, 20, 40, 50]
+
+
+def test_duplicate_span_stats_vs_bruteforce(ray_session):
+    """Randomized (seeded) corpus: distributed span stats equal a
+    driver-side brute-force reimplementation exactly."""
+    import collections
+
+    import ray.data
+    from pdf_parser_ray.stages.textstats import duplicate_span_stats
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 15)))
+             for _ in range(60)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    k = 3
+    out = duplicate_span_stats(ray.data.from_items(rows).repartition(4),
+                               "doc_id", "text", k=k, n_parts=4)
+    got = {r.doc_id: (r.n_dup_grams, r.covered_tokens)
+           for r in out.itertuples()}
+    # brute force
+    counts = collections.Counter()
+    grams = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        g = [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+        grams[i] = g
+        counts.update(g)
+    want = {}
+    for i, g in grams.items():
+        pos = [j for j, gr in enumerate(g) if counts[gr] >= 2]
+        if not pos:
+            continue
+        covered = set()
+        for p in pos:
+            covered.update(range(p, p + k))
+        want[i] = (len(pos), len(covered))
+    assert got == want
+
+
+def test_bigram_pmi_vs_bruteforce(ray_session):
+    """Randomized corpus: distributed PMI equals driver-side brute force
+    (same parenthesization, 6dp round, ordering)."""
+    import collections
+    import math
+
+    import ray.data
+    from pdf_parser_ray.stages.textstats import bigram_pmi
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(8)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(2, 20)))
+             for _ in range(50)]
+    rows = [{"text": t} for t in texts]
+    out = bigram_pmi(ray.data.from_items(rows).repartition(4), "text",
+                     min_count=3, k=15, n_parts=4)
+    uni = collections.Counter()
+    bi = collections.Counter()
+    for t in texts:
+        toks = t.lower().split()
+        uni.update(toks)
+        bi.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    n1, n2 = sum(uni.values()), sum(bi.values())
+    cand = [(g, c) for g, c in bi.items() if c >= 3]
+    exp = [(g, c, round(math.log((c / n2) / ((uni[g.split()[0]] / n1)
+                                             * (uni[g.split()[1]] / n1))),
+                        6)) for g, c in cand]
+    exp.sort(key=lambda r: (-r[2], r[0]))
+    exp = exp[:15]
+    assert list(zip(out.bigram, out.c, out.pmi)) == exp
