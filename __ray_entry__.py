@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q74_importance_weights": Q.q74_importance_weights,
         "q75_inactive_customers": Q.q75_inactive_customers,
         "q76_rollup_revenue": Q.q76_rollup_revenue,
+        "q77_hll_registers": Q.q77_hll_registers,
         # -- dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -391,6 +392,24 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY o_orderdate, o_orderkey
                      ROWS UNBOUNDED PRECEDING), 2) AS running
             FROM orders ORDER BY o_orderkey""",
+        # HLL register law: idx = top p bits of the 64-bit md5 prefix;
+        # rank = leading zeros of the remaining 52 bits + 1 (53 when all
+        # zero); register = MAX(rank). bin() gives the exact bit length.
+        "q77_hll_registers": """
+            WITH h AS (
+              SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                         1, 16) AS UBIGINT) AS raw
+              FROM events WHERE user_id IS NOT NULL),
+            b AS (SELECT raw >> 52 AS idx,
+                         raw & ((1::UBIGINT << 52) - 1) AS bits FROM h),
+            r AS (SELECT idx,
+                         CASE WHEN bits = 0 THEN 53
+                              ELSE 52 - length(bin(bits)) + 1
+                         END AS rank
+                  FROM b)
+            SELECT CAST(idx AS BIGINT) AS idx,
+                   CAST(MAX(rank) AS BIGINT) AS register
+            FROM r GROUP BY idx ORDER BY idx""",
         "q76_rollup_revenue": """
             SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
                    COALESCE(o_orderpriority, 'ALL') AS priority,

@@ -1141,6 +1141,19 @@ def q76_rollup_revenue(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q77_hll_registers(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog sketch CONTENT as the oracle target (the q18/q36
+    discipline: the estimate is approximate, the registers are
+    deterministic integers): distinct-user registers over events,
+    p=12, non-zero registers only."""
+    from ..stages.sketch import hll_sketch
+    ds = _read(sf_dir, "events").select_columns(["user_id"])
+    regs = hll_sketch(ds, "user_id", p=12)
+    nz = np.nonzero(regs)[0]
+    return pd.DataFrame({"idx": nz.astype("int64"),
+                         "register": regs[nz].astype("int64")})
+
+
 def q49_corpus_pipeline(sf_dir: str) -> pd.DataFrame:
     """The end-to-end LLM-corpus pipeline as ONE streaming composition —
     quality filter → exact dedup → temperature rebalancing → train
