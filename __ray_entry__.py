@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q75_inactive_customers": Q.q75_inactive_customers,
         "q76_rollup_revenue": Q.q76_rollup_revenue,
         "q77_hll_registers": Q.q77_hll_registers,
+        "q78_value_hour_corr": Q.q78_value_hour_corr,
         # -- dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -392,6 +393,28 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY o_orderdate, o_orderkey
                      ROWS UNBOUNDED PRECEDING), 2) AS running
             FROM orders ORDER BY o_orderkey""",
+        # corr evaluated from the SAME term-for-term sum expression the
+        # stage uses (never the native CORR(), whose stable-update float
+        # path differs)
+        "q78_value_hour_corr": """
+            WITH s AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS DOUBLE) AS n,
+                     SUM(value) AS sx,
+                     SUM(CAST(EXTRACT(hour FROM ts) AS DOUBLE)) AS sy,
+                     SUM(value * CAST(EXTRACT(hour FROM ts) AS DOUBLE))
+                         AS sxy,
+                     SUM(value * value) AS sxx,
+                     SUM(CAST(EXTRACT(hour FROM ts) AS DOUBLE)
+                         * CAST(EXTRACT(hour FROM ts) AS DOUBLE)) AS syy
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL
+              GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   ROUND((n * sxy - sx * sy)
+                         / (sqrt(n * sxx - sx * sx)
+                            * sqrt(n * syy - sy * sy)), 6) AS corr
+            FROM s ORDER BY event_type""",
         # HLL register law: idx = top p bits of the 64-bit md5 prefix;
         # rank = leading zeros of the remaining 52 bits + 1 (53 when all
         # zero); register = MAX(rank). bin() gives the exact bit length.

@@ -1154,6 +1154,23 @@ def q77_hll_registers(sf_dir: str) -> pd.DataFrame:
                          "register": regs[nz].astype("int64")})
 
 
+def q78_value_hour_corr(sf_dir: str) -> pd.DataFrame:
+    """Grouped Pearson correlation (value vs hour-of-day per event
+    type) from one pass of moment partials — six numbers per key per
+    batch ever move."""
+    ds = _read(sf_dir, "events").select_columns(
+        ["event_type", "ts", "value"])
+
+    def hour(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "h": df["ts"].dt.hour.astype("float64"),
+                             "value": df["value"]})
+
+    out = R.grouped_corr(ds.map_batches(hour, batch_format="pandas"),
+                         "event_type", "value", "h")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q49_corpus_pipeline(sf_dir: str) -> pd.DataFrame:
     """The end-to-end LLM-corpus pipeline as ONE streaming composition —
     quality filter → exact dedup → temperature rebalancing → train

@@ -703,3 +703,45 @@ def rollup_aggregate(ds, keys: list[str], aggs: dict, *,
             g[dropped] = all_label
         frames.append(g[[*keys, *fold_fn]])
     return pd.concat(frames, ignore_index=True)
+
+
+def grouped_corr(ds, key: str, x_col: str, y_col: str, *,
+                 batch_size: int = 8192) -> pd.DataFrame:
+    """Pearson correlation per key from moment partials — one streaming
+    pass: each batch contributes (n, Σx, Σy, Σxy, Σx², Σy²) per key
+    (six numbers per key per batch, never the rows), the driver folds
+    the partials, and
+
+        r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²ᵗᵒᵗ) · √(n·Σy² − Σy²ᵗᵒᵗ))
+
+    is evaluated ONCE from the folded sums — the exact expression a SQL
+    oracle can mirror term for term (never the incremental-update form,
+    whose float error path differs). Rows with a null x or y are
+    dropped (SQL aggregate semantics)."""
+    import numpy as np
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[x_col, y_col])
+        x = d[x_col].to_numpy(np.float64)
+        y = d[y_col].to_numpy(np.float64)
+        g = pd.DataFrame({key: d[key], "x": x, "y": y,
+                          "xy": x * y, "xx": x * x, "yy": y * y})
+        agg = g.groupby(key, sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"))
+        return agg.reset_index()
+
+    parts = (ds.select_columns([key, x_col, y_col])
+             .map_batches(part, batch_format="pandas",
+                          batch_size=batch_size).to_pandas())
+    tot = parts.groupby(key, sort=True).sum(numeric_only=True)
+    n = tot["n"].to_numpy(np.float64)
+    sx, sy = tot["sx"].to_numpy(), tot["sy"].to_numpy()
+    sxy, sxx, syy = (tot["sxy"].to_numpy(), tot["sxx"].to_numpy(),
+                     tot["syy"].to_numpy())
+    denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = np.where(denom > 0, (n * sxy - sx * sy) / denom, np.nan)
+    out = pd.DataFrame({key: tot.index, "n": tot["n"].astype("int64"),
+                        "corr": np.round(r, 6)})
+    return out.reset_index(drop=True)
