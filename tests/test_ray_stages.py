@@ -1718,3 +1718,40 @@ def test_bigram_pmi_vs_bruteforce(ray_session):
     exp.sort(key=lambda r: (-r[2], r[0]))
     exp = exp[:15]
     assert list(zip(out.bigram, out.c, out.pmi)) == exp
+
+
+def test_shuffle_join_edge_cases(ray_session):
+    """Empty sides and zero-match keys: inner/left/semi/anti all return
+    well-formed (possibly empty) results, never raise."""
+    import ray.data
+    from pdf_parser_ray.stages.relational import shuffle_join
+    left = ray.data.from_items([{"k": 1, "v": 10}, {"k": 2, "v": 20}])
+    none_match = ray.data.from_items([{"rk": 99, "w": 1.0}])
+    inner = shuffle_join(left, none_match, left_on="k", right_on="rk",
+                         n_parts=2).to_pandas()
+    assert len(inner) == 0
+    lj = (shuffle_join(left, none_match, left_on="k", right_on="rk",
+                       how="left", n_parts=2)
+          .to_pandas().sort_values("k"))
+    assert lj["v"].tolist() == [10, 20] and lj["w"].isna().all()
+    semi = shuffle_join(left, none_match, left_on="k", right_on="rk",
+                        how="semi", n_parts=2).to_pandas()
+    assert len(semi) == 0
+    anti = (shuffle_join(left, none_match, left_on="k", right_on="rk",
+                         how="anti", n_parts=2)
+            .to_pandas().sort_values("k"))
+    assert anti["k"].tolist() == [1, 2]
+
+
+def test_rollup_single_key_and_minmax(ray_session):
+    """ROLLUP with one key and min/max folds (not just sums)."""
+    import ray.data
+    from pdf_parser_ray.stages.relational import rollup_aggregate
+    rows = [{"g": "a", "v": 3.0}, {"g": "a", "v": 1.0},
+            {"g": "b", "v": 7.0}]
+    out = rollup_aggregate(ray.data.from_items(rows), ["g"],
+                           {"lo": ("v", "min"), "hi": ("v", "max"),
+                            "n": ("v", "count")})
+    got = {r.g: (r.lo, r.hi, r.n) for r in out.itertuples()}
+    assert got == {"a": (1.0, 3.0, 2), "b": (7.0, 7.0, 1),
+                   "ALL": (1.0, 7.0, 3)}
