@@ -1220,6 +1220,9 @@ def build_fingerprint_index(ds, id_col: str, text_col: str,
 
     (ds.select_columns([id_col, text_col])
      .map_batches(fp, batch_format="pandas", batch_size=batch_size)
+     # bound files per bucket: hive writes emit one file per
+     # (block x touched dir) — see build_minhash_band_index
+     .repartition(8)
      .write_parquet(f"local://{index_dir}", partition_cols=["fp_part"]))
     return index_dir
 
@@ -1336,8 +1339,13 @@ def build_minhash_band_index(ds, id_col: str, text_col: str,
         ds.select_columns([id_col, text_col]), text_col, id_col,
         num_perm=num_perm, bands=bands, k=k, seed=seed,
         n_parts=n_buckets)
-    band_ds.write_parquet(f"local://{index_dir}",
-                          partition_cols=["band_part"])
+    # hive writes emit one file per (input block x touched dir): an
+    # unbounded block count explodes into n_buckets x blocks tiny files
+    # (measured 4096 at sf0.1 — the probe then pays per-file read
+    # overhead). Bound the writer to a few blocks of the tiny
+    # (id, band_key, sig) projection.
+    band_ds.repartition(8).write_parquet(f"local://{index_dir}",
+                                         partition_cols=["band_part"])
     meta = {"num_perm": num_perm, "bands": bands, "k": k, "seed": seed,
             "n_buckets": n_buckets, "id_col": id_col}
     with open(os.path.join(index_dir, "_index_meta.json"), "w") as f:
