@@ -35,9 +35,10 @@ import pyarrow as pa
 DRIVER_PAGERANK_MAX_EDGES = 5_000_000
 
 
-def _grouped_sum_ds(ds, key: str, val: str, *, n_parts: int,
+def _grouped_sum_ds(ds, key: str, val, *, n_parts: int,
                     batch_size: int):
-    """(key, val) rows → one (key, sum(val)) row per key, as a Dataset.
+    """(key, val...) rows → one (key, sum(val)...) row per key, as a
+    Dataset. ``val`` may be one column name or a list.
 
     Per-batch pandas partials prune the exchange; one coarsened
     ``groupby(key-hash)`` shuffle co-locates each key's partials and a
@@ -45,15 +46,17 @@ def _grouped_sum_ds(ds, key: str, val: str, *, n_parts: int,
     never one map_groups call per key)."""
     from .relational import add_coarse_part
 
+    vals = [val] if isinstance(val, str) else list(val)
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(key, sort=False)[val].sum().reset_index()
+        return df.groupby(key, sort=False)[vals].sum().reset_index()
 
     parts = ds.map_batches(partial, batch_format="pandas",
                            batch_size=batch_size)
 
     def combine(group: pa.Table) -> pa.Table:
         df = group.to_pandas()
-        out = df.groupby(key, sort=False)[val].sum().reset_index()
+        out = df.groupby(key, sort=False)[vals].sum().reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return (add_coarse_part(parts, key, n_parts)
@@ -106,30 +109,41 @@ def _pagerank_distributed(proj, src: str, dst: str, *, iters: int,
         hits = shuffle_join(proj, wtab, left_on=src, right_on="node",
                             n_parts=n_parts, batch_size=batch_size)
 
+        # ONE exchange closes the iteration: contribution rows carry
+        # (node=dst, s, outdeg=0) and every state row rides along as a
+        # zero-contribution row carrying its outdegree — the grouped
+        # sum then rebuilds the full (node, s, outdeg) table without a
+        # second join (adding 0.0 to an IEEE sum is exact, so rank
+        # parity with the driver mode is preserved).
         def contrib(df: pd.DataFrame) -> pd.DataFrame:
             g = df.groupby(dst, sort=False)["w"].sum().reset_index()
             g = g.rename(columns={dst: "node", "w": "s"})
             g["node"] = g["node"].astype("int64")
+            g["outdeg"] = np.int64(0)
             return g
 
-        sums = _grouped_sum_ds(
-            hits.map_batches(contrib, batch_format="pandas",
-                             batch_size=batch_size),
-            "node", "s", n_parts=n_parts, batch_size=batch_size)
+        def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": df["node"].astype("int64"),
+                "s": 0.0,
+                "outdeg": df["outdeg"].astype("int64")})
 
-        upd = shuffle_join(state.select_columns(["node", "outdeg"]),
-                           sums, left_on="node", how="left",
-                           n_parts=n_parts, batch_size=batch_size)
+        merged = _grouped_sum_ds(
+            hits.map_batches(contrib, batch_format="pandas",
+                             batch_size=batch_size)
+            .union(state.map_batches(zero_rows, batch_format="pandas",
+                                     batch_size=batch_size)),
+            "node", ["s", "outdeg"], n_parts=n_parts,
+            batch_size=batch_size)
 
         def fold(df: pd.DataFrame, _d=damping) -> pd.DataFrame:
-            s = df["s"].fillna(0.0).to_numpy(np.float64)
             return pd.DataFrame({
                 "node": df["node"].astype("int64"),
                 "outdeg": df["outdeg"].astype("int64"),
-                "rank": (1.0 - _d) + _d * s})
+                "rank": (1.0 - _d) + _d * df["s"].to_numpy(np.float64)})
 
-        state = upd.map_batches(fold, batch_format="pandas",
-                                batch_size=batch_size).materialize()
+        state = merged.map_batches(fold, batch_format="pandas",
+                                   batch_size=batch_size).materialize()
     return state
 
 
