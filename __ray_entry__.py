@@ -441,11 +441,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
             ORDER BY 1, 2""",
+        # NOT EXISTS, not NOT IN: a single NULL user_id would make
+        # NOT IN return zero rows while the stage's anti-join (null-safe
+        # is_in) keeps every unmatched customer
         "q75_inactive_customers": """
             SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
                    ROUND(SUM(o_totalprice), 2) AS revenue
-            FROM orders
-            WHERE o_custkey NOT IN (SELECT user_id FROM events)
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = o.o_custkey)
             GROUP BY 1 ORDER BY 1""",
         "q74_importance_weights": r"""
             WITH toks AS (

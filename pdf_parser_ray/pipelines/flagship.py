@@ -320,8 +320,14 @@ def run_flagship(corpus_path, facts_path: str | None = None,
                 bdir = f"{out_dir}/bucket={b}"
                 done_files += [f"{bdir}/{f}" for f in _osfp.listdir(bdir)
                                if f.endswith(".parquet")]
-            if done_files and "payload_fp" in \
-                    _pq.read_schema(done_files[0]).names:
+            # per-FILE schema check: a mixed old/new output dir (some
+            # buckets written before payload_fp existed) must degrade to
+            # replaying only the new-format buckets, not crash the
+            # resume (review finding: a first-file-only check passed and
+            # then the column-projected read raised on the old files)
+            fp_files = [f for f in done_files
+                        if "payload_fp" in _pq.read_schema(f).names]
+            if fp_files:
                 def to_fp_rows(batch: pa.Table) -> pa.Table:
                     mask = pc.not_equal(batch["payload_fp"], "")
                     batch = batch.filter(mask)
@@ -331,7 +337,7 @@ def run_flagship(corpus_path, facts_path: str | None = None,
                         "fp": batch["payload_fp"].cast(pa.string())})
 
                 extra_fp = ray.data.read_parquet(
-                    done_files,
+                    fp_files,
                     columns=["url", "warc_ts", "payload_fp"]
                 ).map_batches(to_fp_rows, batch_format="pyarrow")
         ds = dedup_by_content(ds, extra_fp_ds=extra_fp)

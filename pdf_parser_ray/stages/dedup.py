@@ -667,6 +667,23 @@ def verify_pairs_distributed(ds, pairs, id_col: str,
 
     routing = pair_ds.map_batches(route_rows, batch_format="pandas")
 
+    # GLOBAL distinct on (pid, vpart): a pair colliding in k bands
+    # yields identical routing rows in k different blocks — the
+    # per-batch drop_duplicates can't see across them, and each
+    # surviving duplicate would ship the doc's payload once more
+    # through the verify exchange (review finding; the r3 broadcast
+    # dict emitted each payload exactly once per partition). One
+    # coarsened exchange of two-int rows is far cheaper than k-times
+    # the payload bytes on template-heavy corpora.
+    from .relational import add_coarse_part
+
+    def _distinct(group: pd.DataFrame) -> pd.DataFrame:
+        return group[["pid", "vpart"]].drop_duplicates()
+
+    routing = (add_coarse_part(routing, "pid", n_parts)
+               .groupby("_kpart").map_groups(_distinct,
+                                             batch_format="pandas"))
+
     # Bloom semi-join pushdown: at real scale candidates are a tiny
     # fraction of the corpus, but the routing join would still move
     # every corpus row through the exchange once. A FIXED-size bloom of

@@ -378,7 +378,12 @@ def asof_join_backward(ds, right_df: pd.DataFrame, *, key: str,
     import ray
 
     right = right_df.rename(columns={right_key: key, right_ts: ts})
-    right = right[[key, ts, *value_cols]].sort_values(ts, kind="mergesort")
+    # full-column tie-break: among right rows sharing (key, ts),
+    # merge_asof(backward) takes the LAST row in sort order, so sorting
+    # by the value columns too makes the winner the max value tuple —
+    # deterministic under any input order (review finding)
+    right = right[[key, ts, *value_cols]].sort_values(
+        [ts, *value_cols], kind="mergesort")
     right_ref = ray.put(right)
 
     def join(df: pd.DataFrame) -> pd.DataFrame:
@@ -636,7 +641,11 @@ def asof_join_shuffle(left_ds, right_ds, *, key: str, right_key: str,
                 {c: pd.Series(dtype="object")
                  for c in (key, ts, *left_pay, *value_cols)})
         l = lt[[key, ts, *left_pay]].sort_values(ts, kind="mergesort")
-        r = rt[[key, ts, *value_cols]].sort_values(ts, kind="mergesort")
+        # same full-column tie-break as asof_join_backward: the winner
+        # among duplicate (key, ts) right rows must not depend on the
+        # shuffle's partition-assembly order
+        r = rt[[key, ts, *value_cols]].sort_values(
+            [ts, *value_cols], kind="mergesort")
         # arrow round-trips yield mixed s/us/ns resolutions; merge_asof
         # requires identical dtypes
         l = l.copy()
@@ -684,8 +693,28 @@ def rollup_aggregate(ds, keys: list[str], aggs: dict, *,
     (avg = derive sum/count downstream, as everywhere in this module).
     Rolled-up key columns carry ``all_label`` (deterministic,
     SQL-COALESCE-replicable — a NULL would hash differently between
-    pandas and the oracle)."""
-    fine = pre_aggregate(ds, keys, aggs, batch_size=batch_size)
+    pandas and the oracle). Keys must be non-null and must not collide
+    with ``all_label``: pandas groupby silently drops NULL-keyed rows
+    (diverging from SQL ROLLUP, which totals them), and a genuine key
+    equal to the label would be indistinguishable from subtotal rows —
+    both raise instead of corrupting the totals."""
+    def _guard(df: pd.DataFrame) -> pd.DataFrame:
+        # must run per batch BEFORE the groupby: pandas silently drops
+        # null-keyed rows there, so a post-hoc check can't see them
+        if df[keys].isna().any().any():
+            raise ValueError(
+                "rollup_aggregate requires non-null key values (pandas "
+                "groupby drops them; SQL ROLLUP would total them) — "
+                "fillna upstream")
+        if df[keys].isin([all_label]).any().any():
+            raise ValueError(
+                f"key value collides with all_label {all_label!r} — "
+                "pick a different all_label")
+        return df
+
+    fine = pre_aggregate(ds.map_batches(_guard, batch_format="pandas",
+                                        batch_size=batch_size),
+                         keys, aggs, batch_size=batch_size)
     fold_fn = {out: ("sum" if fn in ("sum", "count") else fn)
                for out, (_, fn) in aggs.items()}
     frames = [fine.copy()]

@@ -888,6 +888,7 @@ def duplicate_span_stats(ds, id_col: str, text_col: str = "text", *,
     from .relational import add_coarse_part
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
         toks = df[text_col].fillna("").str.split()
         t = pd.DataFrame({"id": df[id_col].astype("int64"),
                           "v": toks}).explode("v").dropna(subset=["v"])
@@ -895,16 +896,21 @@ def duplicate_span_stats(ds, id_col: str, text_col: str = "text", *,
             return pd.DataFrame({"gram": pd.Series(dtype="object"),
                                  "id": pd.Series(dtype="int64"),
                                  "pos": pd.Series(dtype="int64")})
-        doc = pd.Series(t["id"].to_numpy())
+        # chain grams on ROW identity (the exploded frame's index),
+        # never on the id VALUE: two rows sharing a doc_id in one batch
+        # must not chain phantom k-grams across their boundary (review
+        # finding; _ngram_series uses the same discipline)
+        row = pd.Series(t.index.to_numpy())
+        ids = pd.Series(t["id"].to_numpy())
         vals = pd.Series(t["v"].to_numpy(), dtype="object")
-        pos = doc.groupby(doc, sort=False).cumcount() + 1
+        pos = row.groupby(row, sort=False).cumcount() + 1
         grams = vals.copy()
         ok = pd.Series(True, index=vals.index)
         for i in range(1, k):
-            ok &= doc.shift(-i).eq(doc)
+            ok &= row.shift(-i).eq(row)
             grams = grams + " " + vals.shift(-i)
         return pd.DataFrame({"gram": grams[ok],
-                             "id": doc[ok].astype("int64"),
+                             "id": ids[ok].astype("int64"),
                              "pos": pos[ok].astype("int64")})
 
     rows = ds.select_columns([id_col, text_col]).map_batches(
@@ -977,9 +983,12 @@ def importance_weights(ds, id_col: str, text_col: str = "text", *,
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
         toks = df[text_col].fillna("").str.lower().str.split()
+        # fillna BEFORE the bool cast: float NaN casts to True while
+        # object-None casts to False (review finding) — a null flag
+        # means "not target", consistently
         t = pd.DataFrame({"v": toks,
-                          "is_t": df[target_col].astype(bool)
-                          }).explode("v").dropna(subset=["v"])
+                          "is_t": df[target_col].fillna(False)
+                          .astype(bool)}).explode("v").dropna(subset=["v"])
         if t.empty:
             return pd.DataFrame({"tok": pd.Series(dtype="object"),
                                  "c_all": pd.Series(dtype="int64"),

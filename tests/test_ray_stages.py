@@ -1755,3 +1755,34 @@ def test_rollup_single_key_and_minmax(ray_session):
     got = {r.g: (r.lo, r.hi, r.n) for r in out.itertuples()}
     assert got == {"a": (1.0, 3.0, 2), "b": (7.0, 7.0, 1),
                    "ALL": (1.0, 7.0, 3)}
+
+
+def test_duplicate_span_stats_repeated_id_in_batch(ray_session):
+    """Two rows sharing one doc_id in a single block must NOT chain
+    phantom k-grams across the row boundary (review finding)."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import duplicate_span_stats
+    # 'c d e' + 'f g h' would form phantom grams like 'd e f' if rows
+    # chained; none of the real 3-grams repeat, so output must be empty
+    rows = [{"doc_id": 7, "text": "c d e"}, {"doc_id": 7, "text": "f g h"}]
+    out = duplicate_span_stats(ray.data.from_items(rows), "doc_id",
+                               "text", k=3, n_parts=2)
+    assert len(out) == 0
+
+
+def test_rollup_rejects_null_and_colliding_keys(ray_session):
+    """Null keys (silently dropped by pandas, totaled by SQL ROLLUP) and
+    key values equal to all_label both raise instead of corrupting."""
+    import ray.data
+    from pdf_parser_ray.stages.relational import rollup_aggregate
+    # the guard raises in a worker; Ray surfaces it wrapped, so match
+    # on the message through the generic exception
+    with pytest.raises(Exception, match="non-null key"):
+        rollup_aggregate(
+            ray.data.from_items([{"g": "a", "v": 1.0},
+                                 {"g": None, "v": 2.0}]),
+            ["g"], {"n": ("v", "count")})
+    with pytest.raises(Exception, match="collides"):
+        rollup_aggregate(
+            ray.data.from_items([{"g": "ALL", "v": 1.0}]),
+            ["g"], {"n": ("v", "count")})
