@@ -1786,3 +1786,34 @@ def test_rollup_rejects_null_and_colliding_keys(ray_session):
         rollup_aggregate(
             ray.data.from_items([{"g": "ALL", "v": 1.0}]),
             ["g"], {"n": ("v", "count")})
+
+
+def test_content_dedup_resume_mixed_schema(tmp_path, ray_session):
+    """A resume over an output dir holding PRE-payload_fp buckets (old
+    format) plus new-format buckets must not crash: the fp replay
+    degrades to the new-format buckets only (review finding: a
+    first-file-only schema check crashed the column-projected read)."""
+    import glob
+
+    from pdf_parser_ray.pipelines.flagship import run_flagship
+    from pdf_parser_ray.sources.corpus import write_corpus
+
+    cdir, fpath = write_corpus(str(tmp_path / "c"), n_docs=16, seed=9,
+                               shards=2)
+    out_dir = str(tmp_path / "out")
+    run_flagship(cdir, fpath, out_dir=out_dir, n_buckets=4,
+                 concurrency=(1, 2), content_dedup=True)
+    # simulate one OLD-format completed bucket: rewrite its parquet
+    # files without the payload_fp column (manifest left intact)
+    buckets = sorted(glob.glob(os.path.join(out_dir, "bucket=*")))
+    old_files = [f for f in glob.glob(os.path.join(buckets[0],
+                                                   "*.parquet"))]
+    assert old_files
+    for f in old_files:
+        t = pq.read_table(f)
+        pq.write_table(t.drop_columns(["payload_fp"]), f)
+    # un-stamp a DIFFERENT bucket so the resume has pending work
+    os.remove(os.path.join(buckets[-1], "_manifest.json"))
+    summary = run_flagship(cdir, fpath, out_dir=out_dir, n_buckets=4,
+                           concurrency=(1, 2), content_dedup=True)
+    assert summary["rows"] >= 14  # resumed cleanly, no crash
