@@ -590,28 +590,106 @@ def cluster_pairs_dataset(pair_ds, ids_ds, id_col: str, *,
 # ---------------------------------------------------------------------------
 
 
+# Auto-mode gate for verify_pairs_distributed: below this many candidate
+# pairs the broadcast path wins (the driver holds at most gate-many pair
+# ints — a BOUNDED allocation, ~32 MB at 2M pairs, the same measured-gate
+# pattern as DRIVER_CLUSTER_MAX_PAIRS); above it the Dataset routing path
+# keeps the candidate list off the driver entirely.
+DRIVER_VERIFY_MAX_PAIRS = 2_000_000
+
+
+def _verify_pairs_broadcast(ds, pairs: np.ndarray, id_col: str,
+                            payload_batch_fn, pair_ok_fn,
+                            pair_ok_batch_fn, n_parts: int) -> np.ndarray:
+    """Small-candidate fast path: the pair list and the id→partition map
+    broadcast once (``ray.put``); each corpus batch filters locally and
+    emits payloads straight to their verify partitions — no corpus
+    exchange at all (one payload shuffle only). Driver memory is
+    O(pairs), which the auto gate bounds."""
+    import ray
+
+    ppart = (pairs[:, 0] * 1000003 + pairs[:, 1]) % n_parts
+    part_pairs: dict[int, list[tuple]] = {}
+    id_parts: dict[int, set[int]] = {}
+    for (x, y), p in zip(pairs.tolist(), ppart.tolist()):
+        part_pairs.setdefault(p, []).append((x, y))
+        id_parts.setdefault(x, set()).add(p)
+        id_parts.setdefault(y, set()).add(p)
+    part_pairs_ref = ray.put(part_pairs)
+    id_parts_ref = ray.put({i: sorted(ps) for i, ps in id_parts.items()})
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        assign = ray.get(id_parts_ref)
+        sub = df[df[id_col].isin(assign)]
+        if sub.empty:
+            return pd.DataFrame({"vpart": pd.Series(dtype="int64"),
+                                 "pid": pd.Series(dtype="int64"),
+                                 "payload": pd.Series(dtype="object")})
+        payloads = payload_batch_fn(sub)
+        parts, pids, plds = [], [], []
+        for pid, pld in zip(sub[id_col].tolist(), payloads):
+            for p in assign[pid]:
+                parts.append(p)
+                pids.append(pid)
+                plds.append(pld)
+        return pd.DataFrame({"vpart": pd.Series(parts, dtype="int64"),
+                             "pid": pd.Series(pids, dtype="int64"),
+                             "payload": pd.Series(plds, dtype="object")})
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return _EMPTY_PAIRS.copy()
+        by_id = dict(zip(group["pid"], group["payload"]))
+        todo = ray.get(part_pairs_ref).get(int(group["vpart"].iloc[0]), [])
+        if pair_ok_batch_fn is not None and todo:
+            pa_list = [by_id.get(x) for x, _ in todo]
+            pb_list = [by_id.get(y) for _, y in todo]
+            have = np.array([x is not None and y is not None
+                             for x, y in zip(pa_list, pb_list)])
+            ok = np.zeros(len(todo), dtype=bool)
+            if have.any():
+                ok[have] = np.asarray(pair_ok_batch_fn(
+                    [p for p, h in zip(pa_list, have) if h],
+                    [p for p, h in zip(pb_list, have) if h]), dtype=bool)
+            arr = np.array(todo, dtype=np.int64)[ok]
+            return pd.DataFrame({"a": arr[:, 0], "b": arr[:, 1]})
+        ok_a, ok_b = [], []
+        for x, y in todo:
+            px, py = by_id.get(x), by_id.get(y)
+            if px is not None and py is not None and pair_ok_fn(px, py):
+                ok_a.append(x)
+                ok_b.append(y)
+        return pd.DataFrame({"a": pd.Series(ok_a, dtype="int64"),
+                             "b": pd.Series(ok_b, dtype="int64")})
+
+    verified = (ds.map_batches(emit, batch_format="pandas")
+                .groupby("vpart").map_groups(verify,
+                                             batch_format="pandas"))
+    return _collect_pairs(verified)
+
+
 def verify_pairs_distributed(ds, pairs, id_col: str,
                              payload_batch_fn, pair_ok_fn,
-                             *, pair_ok_batch_fn=None, n_parts: int = 32):
-    """Exact-verify candidate pairs without collecting the corpus — and
-    (Dataset input) without ever holding the candidate list either.
+                             *, pair_ok_batch_fn=None, n_parts: int = 32,
+                             mode: str = "auto"):
+    """Exact-verify candidate pairs without collecting the corpus — and,
+    past the size gate, without holding the candidate list either.
 
-    Dataset-native routing (r4, closes the last O(candidates) driver
-    allocation): candidate (a, b) rows hash to a verify partition
-    ``vpart``; a tiny (pid, vpart) routing projection of the pairs joins
-    the corpus on id (:func:`..relational.shuffle_join` — a big-to-big
-    exchange, so the corpus is filtered to candidates without any
-    broadcast id set); each candidate doc's payload (computed batch-wise
-    by ``payload_batch_fn``) is emitted once per partition that
-    references it (usually one). Pair rows and payload rows UNION into
-    one stream and ``groupby(vpart)`` co-locates a pair with both its
-    payloads; ``pair_ok_fn(pa_payload, pb_payload)`` runs inside the
-    group. Duplicate candidates (one pair colliding in several bands)
-    land in the same vpart and dedupe there.
+    Two modes behind one measured gate (the DRIVER_CLUSTER_MAX_PAIRS
+    pattern): ``broadcast`` ships the pair list + id→partition map once
+    via ``ray.put`` and each corpus batch emits candidate payloads
+    straight to their verify partitions — one payload shuffle, zero
+    corpus exchanges, driver memory O(pairs) bounded by the gate.
+    ``dataset`` (the 100-TB path) keeps candidates a Dataset end to
+    end: (a, b) rows hash to a verify partition ``vpart``; a globally
+    distinct (pid, vpart) routing projection joins the bloom-pruned
+    corpus on id (:func:`..relational.shuffle_join`); pair rows and
+    payload rows UNION and ``groupby(vpart)`` co-locates a pair with
+    both payloads. ``auto`` counts the (materialized, tiny) pair rows
+    and picks. Identical verified output either way.
 
-    ``pairs`` may be an (a, b) Dataset — the scale path; returns the
-    verified (a, b) Dataset — or an (n, 2) ndarray for compatibility
-    (returns an ndarray; the list is already on the driver then).
+    ``pairs`` may be an (a, b) Dataset — returns the verified (a, b)
+    Dataset — or an (n, 2) ndarray for compatibility (returns ndarray).
 
     ``payload_batch_fn(sub_df) -> list[bytes]`` maps a filtered batch
     (id, …) to one packed payload per row (bytes travel as Arrow binary
@@ -624,17 +702,44 @@ def verify_pairs_distributed(ds, pairs, id_col: str,
     """
     from .relational import shuffle_join
 
+    if mode not in ("auto", "broadcast", "dataset"):
+        raise ValueError(f"unknown verify mode {mode}")
+
     as_array = isinstance(pairs, np.ndarray)
     if as_array:
         if len(pairs) == 0:
             return np.empty((0, 2), dtype=np.int64)
         n_parts = max(1, min(n_parts, len(pairs)))
-        pair_ds = _pairs_dataset(pairs)
+        pair_count = len(pairs)
+        pair_arr: np.ndarray | None = pairs
+        pair_ds = None
     else:
-        # consumed three times (routing, pair rows, bloom); leaving it
-        # lazy re-executes the whole banding/emit upstream per consumer
-        # (the q47 lazy-edge lesson — measured ~3x on q23/q24)
+        # consumed up to three times (routing, pair rows, bloom);
+        # leaving it lazy re-executes the whole banding/emit upstream
+        # per consumer (the q47 lazy-edge lesson — measured ~3x on q23)
         pair_ds = pairs.materialize()
+        pair_count = pair_ds.count()
+        pair_arr = None
+
+    if mode == "auto":
+        mode = ("broadcast" if pair_count <= DRIVER_VERIFY_MAX_PAIRS
+                else "dataset")
+
+    if mode == "broadcast":
+        if pair_arr is None:
+            pair_arr = _collect_pairs(pair_ds)
+        if len(pair_arr) == 0:
+            verified_arr = np.empty((0, 2), dtype=np.int64)
+        else:
+            verified_arr = _verify_pairs_broadcast(
+                ds, pair_arr, id_col, payload_batch_fn, pair_ok_fn,
+                pair_ok_batch_fn, max(1, min(n_parts, len(pair_arr))))
+        if as_array:
+            return verified_arr
+        return _pairs_dataset(verified_arr)
+
+    if pair_ds is None:
+        pair_ds = _pairs_dataset(pair_arr)
 
     cols = ["vpart", "kind", "pid", "payload", "a", "b"]
 

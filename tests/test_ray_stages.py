@@ -1303,6 +1303,14 @@ def test_verify_pairs_dataset_routing(ray_session):
               .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
     assert got_arr.tolist() == [[0, 1], [3, 4]]
     assert got_ds.values.tolist() == [[0, 1], [3, 4]]
+    # both forced modes agree (auto picks broadcast at this size)
+    for m in ("broadcast", "dataset"):
+        got_m = (verify_pairs_distributed(ds, cand_ds, "doc_id",
+                                          payloads, ok, n_parts=4,
+                                          mode=m)
+                 .to_pandas().sort_values(["a", "b"])
+                 .reset_index(drop=True))
+        assert got_m.values.tolist() == [[0, 1], [3, 4]], m
 
 
 def test_bucket_pairs_hot_bucket_cap():
