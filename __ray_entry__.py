@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q76_rollup_revenue": Q.q76_rollup_revenue,
         "q77_hll_registers": Q.q77_hll_registers,
         "q78_value_hour_corr": Q.q78_value_hour_corr,
+        "q79_cube_revenue": Q.q79_cube_revenue,
+        "q80_event_lag_delta": Q.q80_event_lag_delta,
         # -- dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,
@@ -433,6 +435,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(idx AS BIGINT) AS idx,
                    CAST(MAX(rank) AS BIGINT) AS register
             FROM r GROUP BY idx ORDER BY idx""",
+        "q79_cube_revenue": """
+            SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY CUBE(c_mktsegment, o_orderpriority)
+            ORDER BY 1, 2""",
+        "q80_event_lag_delta": """
+            SELECT event_id,
+                   ROUND(CAST(EXTRACT(epoch FROM ts - LAG(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id))
+                     AS DOUBLE), 6) AS delta_sec
+            FROM events ORDER BY event_id""",
         "q76_rollup_revenue": """
             SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
                    COALESCE(o_orderpriority, 'ALL') AS priority,

@@ -1171,6 +1171,41 @@ def q78_value_hour_corr(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q79_cube_revenue(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(segment, priority): all four grouping levels fold
+    from one streaming pre-aggregate pass."""
+    customer = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderpriority", "o_totalprice"])
+    joined = R.broadcast_join(orders, customer.rename(
+        columns={"c_custkey": "o_custkey"}), on="o_custkey")
+    out = R.cube_aggregate(
+        joined, ["c_mktsegment", "o_orderpriority"],
+        {"revenue": ("o_totalprice", "sum"),
+         "n_orders": ("o_totalprice", "count")})
+    out = out.rename(columns={"c_mktsegment": "segment",
+                              "o_orderpriority": "priority"})
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (out.sort_values(["segment", "priority"])
+            .reset_index(drop=True))
+
+
+def q80_event_lag_delta(sf_dir: str) -> pd.DataFrame:
+    """LAG window: per event, seconds since the user's previous event
+    (NULL for firsts) — one coarsened exchange, vectorized in-partition
+    grouped diff."""
+    ds = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts"])
+    out = (R.grouped_lag_delta(ds, key="user_id", ts="ts",
+                               id_col="event_id")
+           .to_pandas())
+    out["event_id"] = out["event_id"].astype("int64")
+    out["delta_sec"] = out["delta_sec"].astype("float64").round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q49_corpus_pipeline(sf_dir: str) -> pd.DataFrame:
     """The end-to-end LLM-corpus pipeline as ONE streaming composition —
     quality filter → exact dedup → temperature rebalancing → train

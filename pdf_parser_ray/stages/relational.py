@@ -774,3 +774,63 @@ def grouped_corr(ds, key: str, x_col: str, y_col: str, *,
     out = pd.DataFrame({key: tot.index, "n": tot["n"].astype("int64"),
                         "corr": np.round(r, 6)})
     return out.reset_index(drop=True)
+
+
+def cube_aggregate(ds, keys: list[str], aggs: dict, *,
+                   all_label: str = "ALL",
+                   batch_size: int = 8192) -> pd.DataFrame:
+    """GROUP BY CUBE(keys...): every subset of the key list, all folded
+    from ONE :func:`pre_aggregate` pass at the finest level (the
+    :func:`rollup_aggregate` discipline — the input streams once, the
+    2^k coarser levels fold from the O(distinct combos) partial frame
+    on the driver). Same non-null / label-collision guards."""
+    from itertools import combinations
+
+    def _guard(df: pd.DataFrame) -> pd.DataFrame:
+        if df[keys].isna().any().any():
+            raise ValueError(
+                "cube_aggregate requires non-null key values — fillna "
+                "upstream")
+        if df[keys].isin([all_label]).any().any():
+            raise ValueError(
+                f"key value collides with all_label {all_label!r}")
+        return df
+
+    fine = pre_aggregate(ds.map_batches(_guard, batch_format="pandas",
+                                        batch_size=batch_size),
+                         keys, aggs, batch_size=batch_size)
+    fold_fn = {out: ("sum" if fn in ("sum", "count") else fn)
+               for out, (_, fn) in aggs.items()}
+    frames = [fine.copy()]
+    for r in range(len(keys) - 1, -1, -1):
+        for lvl in combinations(keys, r):
+            lvl = list(lvl)
+            if lvl:
+                g = fine.groupby(lvl, sort=False).agg(
+                    {o: f for o, f in fold_fn.items()}).reset_index()
+            else:
+                g = pd.DataFrame([{o: (fine[o].sum() if f == "sum"
+                                       else getattr(fine[o], f)())
+                                   for o, f in fold_fn.items()}])
+            for dropped in (k for k in keys if k not in lvl):
+                g[dropped] = all_label
+            frames.append(g[[*keys, *fold_fn]])
+    return pd.concat(frames, ignore_index=True)
+
+
+def grouped_lag_delta(ds, *, key: str, ts: str, id_col: str,
+                      out_col: str = "delta_sec", n_parts: int = 64):
+    """LAG window: per row, seconds since the key's PREVIOUS event
+    (NULL for each key's first event) — ordered by (ts, id) with the
+    id tie-break so the result is deterministic. Same coarsened-shuffle
+    shape as :func:`sessionize`; the in-partition computation is one
+    vectorized grouped diff."""
+    def assign(group: pa.Table) -> pa.Table:
+        df = (group.to_pandas()
+              .sort_values([key, ts, id_col], kind="mergesort"))
+        delta = df.groupby(key, sort=False)[ts].diff().dt.total_seconds()
+        out = pd.DataFrame({id_col: df[id_col], out_col: delta})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (add_coarse_part(ds, key, n_parts)
+            .groupby("_kpart").map_groups(assign, batch_format="pyarrow"))

@@ -1825,3 +1825,31 @@ def test_content_dedup_resume_mixed_schema(tmp_path, ray_session):
     summary = run_flagship(cdir, fpath, out_dir=out_dir, n_buckets=4,
                            concurrency=(1, 2), content_dedup=True)
     assert summary["rows"] >= 14  # resumed cleanly, no crash
+
+
+def test_cube_and_lag_delta(ray_session):
+    """CUBE emits all 2^k grouping levels; lag delta is NULL for each
+    key's first event and seconds-difference after."""
+    import datetime as dt
+
+    import ray.data
+    from pdf_parser_ray.stages.relational import (cube_aggregate,
+                                                  grouped_lag_delta)
+    rows = [{"a": "x", "b": "p", "v": 1.0},
+            {"a": "x", "b": "q", "v": 2.0},
+            {"a": "y", "b": "p", "v": 4.0}]
+    out = cube_aggregate(ray.data.from_items(rows), ["a", "b"],
+                         {"s": ("v", "sum")})
+    got = {(r.a, r.b): r.s for r in out.itertuples()}
+    assert got[("x", "p")] == 1.0 and got[("ALL", "p")] == 5.0
+    assert got[("x", "ALL")] == 3.0 and got[("ALL", "ALL")] == 7.0
+    assert len(got) == 3 + 2 + 2 + 1  # fine combos + per-a + per-b + grand
+
+    ev = [{"eid": 1, "u": 1, "ts": dt.datetime(2021, 1, 1, 0, 0, 0)},
+          {"eid": 2, "u": 1, "ts": dt.datetime(2021, 1, 1, 0, 0, 30)},
+          {"eid": 3, "u": 2, "ts": dt.datetime(2021, 1, 1, 1, 0, 0)}]
+    lag = (grouped_lag_delta(ray.data.from_items(ev), key="u", ts="ts",
+                             id_col="eid", n_parts=2)
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    assert np.isnan(lag.delta_sec[0]) and lag.delta_sec[1] == 30.0
+    assert np.isnan(lag.delta_sec[2])
