@@ -146,3 +146,39 @@ def test_srp_sign_invariance(vec):
     df1 = udf(pd.DataFrame({"id": [1], "v": [vec]}))
     df2 = udf(pd.DataFrame({"id": [1], "v": [[x * 4.0 for x in vec]]}))
     assert df1["band_key"].tolist() == df2["band_key"].tolist()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)),
+                max_size=80),
+       st.integers(2, 8))
+def test_bucket_pairs_cap_invariants(rows, m):
+    """Capped bucket_pairs: output is a SUBSET of the uncapped clique
+    pairs; per-bucket connectivity is preserved (every member reaches
+    the bucket minimum directly or via a clique member); small buckets
+    are untouched."""
+    import numpy as np
+    from pdf_parser_ray.stages.dedup import bucket_pairs
+
+    keys = np.array([k for k, _ in rows], dtype=np.uint64)
+    ids = np.array([i for _, i in rows], dtype=np.int64)
+    capped = {tuple(p) for p in bucket_pairs(keys, ids, max_bucket=m)}
+    full = {tuple(p) for p in bucket_pairs(keys, ids, max_bucket=None)}
+    assert capped <= full
+    by_key = {}
+    for k, i in rows:
+        by_key.setdefault(k, set()).add(i)
+    for members in by_key.values():
+        ms = sorted(members)
+        if len(ms) < 2:
+            continue
+        if len(ms) <= m:
+            # untouched: full clique present
+            for x in range(len(ms)):
+                for y in range(x + 1, len(ms)):
+                    assert (ms[x], ms[y]) in capped
+            continue
+        # connectivity: every member pairs with the bucket min, either
+        # directly (star/tail) or as a clique member
+        for v in ms[1:]:
+            assert (ms[0], v) in capped
