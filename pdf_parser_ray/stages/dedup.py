@@ -601,57 +601,83 @@ DRIVER_VERIFY_MAX_PAIRS = 2_000_000
 def _verify_pairs_broadcast(ds, pairs: np.ndarray, id_col: str,
                             payload_batch_fn, pair_ok_fn,
                             pair_ok_batch_fn, n_parts: int) -> np.ndarray:
-    """Small-candidate fast path: the pair list and the id→partition map
-    broadcast once (``ray.put``); each corpus batch filters locally and
-    emits payloads straight to their verify partitions — no corpus
-    exchange at all (one payload shuffle only). Driver memory is
-    O(pairs), which the auto gate bounds."""
+    """Small-candidate fast path: the pair list and the id→partition
+    routing broadcast once — as NUMPY ARRAYS, which ``ray.get`` maps
+    zero-copy from the object store per batch (pickled dicts would
+    re-deserialize the whole structure on every access and cost several
+    pointers per pair; review finding). Each corpus batch filters
+    locally and emits payloads straight to their verify partitions — no
+    corpus exchange at all (one payload shuffle only). Driver memory is
+    O(pairs) flat int64, which the auto gate bounds (~32 MB at 2M)."""
     import ray
 
-    ppart = (pairs[:, 0] * 1000003 + pairs[:, 1]) % n_parts
-    part_pairs: dict[int, list[tuple]] = {}
-    id_parts: dict[int, set[int]] = {}
-    for (x, y), p in zip(pairs.tolist(), ppart.tolist()):
-        part_pairs.setdefault(p, []).append((x, y))
-        id_parts.setdefault(x, set()).add(p)
-        id_parts.setdefault(y, set()).add(p)
-    part_pairs_ref = ray.put(part_pairs)
-    id_parts_ref = ray.put({i: sorted(ps) for i, ps in id_parts.items()})
+    # duplicate candidates (one pair colliding in several bands) dedupe
+    # HERE, mirroring the dataset path's global-distinct routing
+    pairs = np.unique(pairs, axis=0)
+    a, b = pairs[:, 0], pairs[:, 1]
+    ppart = (a * 1000003 + b) % n_parts
+    order = np.argsort(ppart, kind="stable")
+    pairs_sorted = np.ascontiguousarray(pairs[order])
+    offsets = np.searchsorted(ppart[order], np.arange(n_parts + 1))
+    # routing rows (pid, vpart), lexsorted+unique by construction
+    rp = np.unique(np.stack([np.concatenate([a, b]),
+                             np.concatenate([ppart, ppart])], axis=1),
+                   axis=0)
+    rp_pid = np.ascontiguousarray(rp[:, 0])
+    rp_part = np.ascontiguousarray(rp[:, 1])
+    uid = np.unique(rp_pid)
+    route_ref = ray.put((uid, rp_pid, rp_part))
+    pairs_ref = ray.put((pairs_sorted, offsets))
+
+    _empty_emit = pd.DataFrame({"vpart": pd.Series(dtype="int64"),
+                                "pid": pd.Series(dtype="int64"),
+                                "payload": pd.Series(dtype="object")})
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
-        assign = ray.get(id_parts_ref)
-        sub = df[df[id_col].isin(assign)]
+        uid_, rp_pid_, rp_part_ = ray.get(route_ref)
+        mask = np.isin(df[id_col].to_numpy(np.int64), uid_)
+        sub = df[mask]
         if sub.empty:
-            return pd.DataFrame({"vpart": pd.Series(dtype="int64"),
-                                 "pid": pd.Series(dtype="int64"),
-                                 "payload": pd.Series(dtype="object")})
+            return _empty_emit.copy()
         payloads = payload_batch_fn(sub)
-        parts, pids, plds = [], [], []
-        for pid, pld in zip(sub[id_col].tolist(), payloads):
-            for p in assign[pid]:
-                parts.append(p)
-                pids.append(pid)
-                plds.append(pld)
-        return pd.DataFrame({"vpart": pd.Series(parts, dtype="int64"),
-                             "pid": pd.Series(pids, dtype="int64"),
-                             "payload": pd.Series(plds, dtype="object")})
+        ids = sub[id_col].to_numpy(np.int64)
+        starts = np.searchsorted(rp_pid_, ids, side="left")
+        counts = np.searchsorted(rp_pid_, ids, side="right") - starts
+        total = int(counts.sum())  # counts >= 1: ids passed the filter
+        # vectorized concatenation of [starts_i, starts_i + counts_i)
+        take = np.ones(total, dtype=np.int64)
+        take[0] = starts[0]
+        bound = np.cumsum(counts)[:-1]
+        take[bound] = starts[1:] - (starts[:-1] + counts[:-1]) + 1
+        take = np.cumsum(take)
+        pidx = np.repeat(np.arange(len(ids)), counts)
+        return pd.DataFrame({
+            "vpart": rp_part_[take],
+            "pid": np.repeat(ids, counts),
+            "payload": pd.Series([payloads[j] for j in pidx],
+                                 dtype="object")})
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         if group.empty:
             return _EMPTY_PAIRS.copy()
+        pairs_, offsets_ = ray.get(pairs_ref)
+        p = int(group["vpart"].iloc[0])
+        todo = pairs_[offsets_[p]:offsets_[p + 1]]
+        if len(todo) == 0:
+            return _EMPTY_PAIRS.copy()
         by_id = dict(zip(group["pid"], group["payload"]))
-        todo = ray.get(part_pairs_ref).get(int(group["vpart"].iloc[0]), [])
-        if pair_ok_batch_fn is not None and todo:
-            pa_list = [by_id.get(x) for x, _ in todo]
-            pb_list = [by_id.get(y) for _, y in todo]
+        if pair_ok_batch_fn is not None:
+            pa_list = [by_id.get(x) for x in todo[:, 0]]
+            pb_list = [by_id.get(y) for y in todo[:, 1]]
             have = np.array([x is not None and y is not None
                              for x, y in zip(pa_list, pb_list)])
             ok = np.zeros(len(todo), dtype=bool)
             if have.any():
                 ok[have] = np.asarray(pair_ok_batch_fn(
-                    [p for p, h in zip(pa_list, have) if h],
-                    [p for p, h in zip(pb_list, have) if h]), dtype=bool)
-            arr = np.array(todo, dtype=np.int64)[ok]
+                    [p_ for p_, h in zip(pa_list, have) if h],
+                    [p_ for p_, h in zip(pb_list, have) if h]),
+                    dtype=bool)
+            arr = todo[ok]
             return pd.DataFrame({"a": arr[:, 0], "b": arr[:, 1]})
         ok_a, ok_b = [], []
         for x, y in todo:

@@ -682,29 +682,29 @@ def grouped_running_sum(ds, key: str, order_by: list[str],
             .groupby("_kpart").map_groups(accum, batch_format="pyarrow"))
 
 
-def rollup_aggregate(ds, keys: list[str], aggs: dict, *,
-                     all_label: str = "ALL",
-                     batch_size: int = 8192) -> pd.DataFrame:
-    """GROUP BY ROLLUP(keys...): the finest level runs as ONE
-    :func:`pre_aggregate` pass over the data; every coarser level folds
-    from the finest level's result frame on the driver — partials are
-    O(distinct key combos), so the input streams exactly once no matter
-    how many rollup levels. sum/count fold by sum, min/max by min/max
-    (avg = derive sum/count downstream, as everywhere in this module).
-    Rolled-up key columns carry ``all_label`` (deterministic,
+def grouping_sets_aggregate(ds, keys: list[str], sets, aggs: dict, *,
+                            all_label: str = "ALL",
+                            batch_size: int = 8192) -> pd.DataFrame:
+    """GROUP BY GROUPING SETS: the finest level (all ``keys``) runs as
+    ONE :func:`pre_aggregate` pass over the data; every requested
+    grouping set folds from that O(distinct key combos) partial frame
+    on the driver — the input streams exactly once regardless of how
+    many sets. sum/count fold by sum, min/max by min/max (avg = derive
+    sum/count downstream, as everywhere in this module). Keys absent
+    from a set carry ``all_label`` (deterministic,
     SQL-COALESCE-replicable — a NULL would hash differently between
     pandas and the oracle). Keys must be non-null and must not collide
     with ``all_label``: pandas groupby silently drops NULL-keyed rows
-    (diverging from SQL ROLLUP, which totals them), and a genuine key
-    equal to the label would be indistinguishable from subtotal rows —
-    both raise instead of corrupting the totals."""
+    (diverging from SQL, which totals them), and a genuine key equal
+    to the label would be indistinguishable from subtotal rows — both
+    raise (per batch, BEFORE the groupby can hide them) instead of
+    corrupting totals. :func:`rollup_aggregate` (prefix sets) and
+    :func:`cube_aggregate` (the power set) are thin wrappers."""
     def _guard(df: pd.DataFrame) -> pd.DataFrame:
-        # must run per batch BEFORE the groupby: pandas silently drops
-        # null-keyed rows there, so a post-hoc check can't see them
         if df[keys].isna().any().any():
             raise ValueError(
-                "rollup_aggregate requires non-null key values (pandas "
-                "groupby drops them; SQL ROLLUP would total them) — "
+                "grouping-sets aggregation requires non-null key values "
+                "(pandas groupby drops them; SQL would total them) — "
                 "fillna upstream")
         if df[keys].isin([all_label]).any().any():
             raise ValueError(
@@ -717,21 +717,33 @@ def rollup_aggregate(ds, keys: list[str], aggs: dict, *,
                          keys, aggs, batch_size=batch_size)
     fold_fn = {out: ("sum" if fn in ("sum", "count") else fn)
                for out, (_, fn) in aggs.items()}
-    frames = [fine.copy()]
-    for i in range(len(keys) - 1, -1, -1):
-        lvl = keys[:i]
-        if lvl:
+    frames = []
+    for lvl in sets:
+        lvl = list(lvl)
+        if lvl == keys:
+            g = fine.copy()
+        elif lvl:
             g = fine.groupby(lvl, sort=False).agg(
                 {out: fn for out, fn in fold_fn.items()}).reset_index()
         else:
-            g = pd.DataFrame([{out: (fine[out].sum()
-                                     if fn == "sum" else
-                                     getattr(fine[out], fn)())
+            g = pd.DataFrame([{out: (fine[out].sum() if fn == "sum"
+                                     else getattr(fine[out], fn)())
                                for out, fn in fold_fn.items()}])
-        for dropped in keys[i:]:
+        for dropped in (k for k in keys if k not in lvl):
             g[dropped] = all_label
         frames.append(g[[*keys, *fold_fn]])
     return pd.concat(frames, ignore_index=True)
+
+
+def rollup_aggregate(ds, keys: list[str], aggs: dict, *,
+                     all_label: str = "ALL",
+                     batch_size: int = 8192) -> pd.DataFrame:
+    """GROUP BY ROLLUP(keys...) = grouping sets over the key-list
+    prefixes, longest first (see :func:`grouping_sets_aggregate`)."""
+    sets = [keys[:i] for i in range(len(keys), -1, -1)]
+    return grouping_sets_aggregate(ds, keys, sets, aggs,
+                                   all_label=all_label,
+                                   batch_size=batch_size)
 
 
 def grouped_corr(ds, key: str, x_col: str, y_col: str, *,
@@ -779,43 +791,15 @@ def grouped_corr(ds, key: str, x_col: str, y_col: str, *,
 def cube_aggregate(ds, keys: list[str], aggs: dict, *,
                    all_label: str = "ALL",
                    batch_size: int = 8192) -> pd.DataFrame:
-    """GROUP BY CUBE(keys...): every subset of the key list, all folded
-    from ONE :func:`pre_aggregate` pass at the finest level (the
-    :func:`rollup_aggregate` discipline — the input streams once, the
-    2^k coarser levels fold from the O(distinct combos) partial frame
-    on the driver). Same non-null / label-collision guards."""
+    """GROUP BY CUBE(keys...) = grouping sets over the power set of the
+    key list, finest first (see :func:`grouping_sets_aggregate`)."""
     from itertools import combinations
 
-    def _guard(df: pd.DataFrame) -> pd.DataFrame:
-        if df[keys].isna().any().any():
-            raise ValueError(
-                "cube_aggregate requires non-null key values — fillna "
-                "upstream")
-        if df[keys].isin([all_label]).any().any():
-            raise ValueError(
-                f"key value collides with all_label {all_label!r}")
-        return df
-
-    fine = pre_aggregate(ds.map_batches(_guard, batch_format="pandas",
-                                        batch_size=batch_size),
-                         keys, aggs, batch_size=batch_size)
-    fold_fn = {out: ("sum" if fn in ("sum", "count") else fn)
-               for out, (_, fn) in aggs.items()}
-    frames = [fine.copy()]
-    for r in range(len(keys) - 1, -1, -1):
-        for lvl in combinations(keys, r):
-            lvl = list(lvl)
-            if lvl:
-                g = fine.groupby(lvl, sort=False).agg(
-                    {o: f for o, f in fold_fn.items()}).reset_index()
-            else:
-                g = pd.DataFrame([{o: (fine[o].sum() if f == "sum"
-                                       else getattr(fine[o], f)())
-                                   for o, f in fold_fn.items()}])
-            for dropped in (k for k in keys if k not in lvl):
-                g[dropped] = all_label
-            frames.append(g[[*keys, *fold_fn]])
-    return pd.concat(frames, ignore_index=True)
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_aggregate(ds, keys, sets, aggs,
+                                   all_label=all_label,
+                                   batch_size=batch_size)
 
 
 def grouped_lag_delta(ds, *, key: str, ts: str, id_col: str,
