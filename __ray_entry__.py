@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # code (q01-q04/q08/q09/q13). `tools/check_oracle.py` sweeps ALL
     # entries regardless of this order (r4 full sweep: failures 0).
     return {
+        # -- new in round 5
+        "q81_remove_duplicate_spans": Q.q81_remove_duplicate_spans,
         # -- dropped from the driver's r3 file (ran past its cutoff)
         "q24_embedding_dedup": Q.q24_embedding_dedup,
         "q30_knn_bruteforce": Q.q30_knn_bruteforce,
@@ -508,6 +510,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(LEAST(5, COALESCE(nxt - pos, 5))) AS BIGINT)
                        AS covered_tokens
             FROM c GROUP BY 1 ORDER BY 1""",
+        # removal twin of q73: covered = dup-gram starts dilated by k;
+        # maximal covered runs ≥ min_run (8) drop; string_agg skips the
+        # NULLed-out removed tokens and keeps token order by pos
+        "q81_remove_duplicate_spans": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+              FROM documents),
+            t AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     unnest(generate_series(1, len(toks))) AS pos
+              FROM tok),
+            g AS (
+              SELECT doc_id, j.j AS pos,
+                     array_to_string(toks[j.j:j.j + 4], ' ') AS gram
+              FROM tok, UNNEST(generate_series(1, len(toks) - 4)) AS j(j)),
+            d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+            p AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+            cov AS (
+              SELECT DISTINCT doc_id, pos + i.i AS cpos
+              FROM p, UNNEST(generate_series(0, 4)) AS i(i)),
+            r AS (
+              SELECT doc_id, cpos,
+                     cpos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                               ORDER BY cpos) AS grp
+              FROM cov),
+            rl AS (SELECT doc_id, grp, COUNT(*) AS n
+                   FROM r GROUP BY 1, 2),
+            rem AS (
+              SELECT r.doc_id, r.cpos FROM r JOIN rl USING (doc_id, grp)
+              WHERE rl.n >= 8),
+            agg AS (
+              SELECT t.doc_id,
+                     COALESCE(string_agg(
+                       CASE WHEN rem.cpos IS NULL THEN t.tok END,
+                       ' ' ORDER BY t.pos), '') AS clean_text,
+                     CAST(SUM(CASE WHEN rem.cpos IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+              FROM t LEFT JOIN rem
+                ON t.doc_id = rem.doc_id AND t.pos = rem.cpos
+              GROUP BY 1)
+            SELECT doc.doc_id,
+                   COALESCE(agg.clean_text, '') AS clean_text,
+                   CAST(COALESCE(agg.n_removed, 0) AS BIGINT) AS n_removed
+            FROM documents doc LEFT JOIN agg USING (doc_id)
+            ORDER BY doc_id""",
         "q68_bigram_pmi": r"""
             WITH t AS (
               SELECT regexp_extract_all(lower(text), '\S+') AS toks

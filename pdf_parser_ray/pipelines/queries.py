@@ -1084,6 +1084,19 @@ def q73_duplicate_spans(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q81_remove_duplicate_spans(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr duplicate-span REMOVAL (the transform completing
+    q73's measure): tokens covered by corpus-duplicated 5-grams are
+    dropped when their maximal covered run is ≥ 8 tokens (shorter
+    covered runs survive — exercises the run-length branch); remaining
+    tokens re-join with single spaces."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = TS.remove_duplicate_spans(ds, "doc_id", "text",
+                                    k=5, min_run=8).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q74_importance_weights(sf_dir: str) -> pd.DataFrame:
     """DSIR-style data selection: per-doc mean unigram log-likelihood
     ratio of a target-domain LM (lang='en' docs) vs the raw-corpus LM,

@@ -859,6 +859,61 @@ def quality_top_p(ds, id_col: str, group_col: str, text_col: str = "text",
             .reset_index(drop=True))
 
 
+def _gram_pos_explode(id_col: str, text_col: str, k: int):
+    """Per-batch vectorized (gram, id, pos) explode shared by the
+    ExactSubstr measure (:func:`duplicate_span_stats`) and the transform
+    (:func:`remove_duplicate_spans`): whitespace tokens, 1-based k-gram
+    start positions."""
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df[text_col].fillna("").str.split()
+        t = pd.DataFrame({"id": df[id_col].astype("int64"),
+                          "v": toks}).explode("v").dropna(subset=["v"])
+        if t.empty:
+            return pd.DataFrame({"gram": pd.Series(dtype="object"),
+                                 "id": pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64")})
+        # chain grams on ROW identity (the exploded frame's index),
+        # never on the id VALUE: two rows sharing a doc_id in one batch
+        # must not chain phantom k-grams across their boundary (review
+        # finding; _ngram_series uses the same discipline)
+        row = pd.Series(t.index.to_numpy())
+        ids = pd.Series(t["id"].to_numpy())
+        vals = pd.Series(t["v"].to_numpy(), dtype="object")
+        pos = row.groupby(row, sort=False).cumcount() + 1
+        grams = vals.copy()
+        ok = pd.Series(True, index=vals.index)
+        for i in range(1, k):
+            ok &= row.shift(-i).eq(row)
+            grams = grams + " " + vals.shift(-i)
+        return pd.DataFrame({"gram": grams[ok],
+                             "id": ids[ok].astype("int64"),
+                             "pos": pos[ok].astype("int64")})
+    return explode
+
+
+def _dup_gram_positions(ds, id_col: str, text_col: str, *, k: int,
+                        n_parts: int, batch_size: int):
+    """(id, pos) Dataset of every k-gram start whose gram occurs ≥2
+    times corpus-wide. Coarsened co-partition on hash(gram): every
+    occurrence of a gram lands in one partition, so a partition-local
+    count IS the global count; only the duplicated positions leave."""
+    from .relational import add_coarse_part
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        _gram_pos_explode(id_col, text_col, k), batch_format="pandas",
+        batch_size=batch_size)
+
+    def dup_positions(group: pd.DataFrame) -> pd.DataFrame:
+        n = group.groupby("gram", sort=False)["gram"].transform("size")
+        dup = group[n >= 2]
+        return dup[["id", "pos"]]
+
+    return (add_coarse_part(rows, "gram", n_parts)
+            .groupby("_kpart").map_groups(dup_positions,
+                                          batch_format="pandas"))
+
+
 def duplicate_span_stats(ds, id_col: str, text_col: str = "text", *,
                          k: int = 5, n_parts: int = 64,
                          batch_size: int = 512) -> pd.DataFrame:
@@ -887,43 +942,8 @@ def duplicate_span_stats(ds, id_col: str, text_col: str = "text", *,
     """
     from .relational import add_coarse_part
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.reset_index(drop=True)
-        toks = df[text_col].fillna("").str.split()
-        t = pd.DataFrame({"id": df[id_col].astype("int64"),
-                          "v": toks}).explode("v").dropna(subset=["v"])
-        if t.empty:
-            return pd.DataFrame({"gram": pd.Series(dtype="object"),
-                                 "id": pd.Series(dtype="int64"),
-                                 "pos": pd.Series(dtype="int64")})
-        # chain grams on ROW identity (the exploded frame's index),
-        # never on the id VALUE: two rows sharing a doc_id in one batch
-        # must not chain phantom k-grams across their boundary (review
-        # finding; _ngram_series uses the same discipline)
-        row = pd.Series(t.index.to_numpy())
-        ids = pd.Series(t["id"].to_numpy())
-        vals = pd.Series(t["v"].to_numpy(), dtype="object")
-        pos = row.groupby(row, sort=False).cumcount() + 1
-        grams = vals.copy()
-        ok = pd.Series(True, index=vals.index)
-        for i in range(1, k):
-            ok &= row.shift(-i).eq(row)
-            grams = grams + " " + vals.shift(-i)
-        return pd.DataFrame({"gram": grams[ok],
-                             "id": ids[ok].astype("int64"),
-                             "pos": pos[ok].astype("int64")})
-
-    rows = ds.select_columns([id_col, text_col]).map_batches(
-        explode, batch_format="pandas", batch_size=batch_size)
-
-    def dup_positions(group: pd.DataFrame) -> pd.DataFrame:
-        n = group.groupby("gram", sort=False)["gram"].transform("size")
-        dup = group[n >= 2]
-        return dup[["id", "pos"]]
-
-    dup_rows = (add_coarse_part(rows, "gram", n_parts)
-                .groupby("_kpart").map_groups(dup_positions,
-                                              batch_format="pandas"))
+    dup_rows = _dup_gram_positions(ds, id_col, text_col, k=k,
+                                   n_parts=n_parts, batch_size=batch_size)
 
     def coverage(group: pd.DataFrame) -> pd.DataFrame:
         g = (group[["id", "pos"]].drop_duplicates()
@@ -1038,3 +1058,117 @@ def importance_weights(ds, id_col: str, text_col: str = "text", *,
     out["llr"] = out["llr"].round(6)
     out[id_col] = out[id_col].astype("int64")
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def remove_duplicate_spans(ds, id_col: str, text_col: str = "text", *,
+                           k: int = 5, min_run: int | None = None,
+                           n_parts: int = 64, batch_size: int = 512):
+    """ExactSubstr duplicate-span REMOVAL (Lee et al. 2022) — the
+    transform half completing :func:`duplicate_span_stats` (the
+    measure): every token covered by a corpus-duplicated k-gram
+    (global count ≥ 2, self-repetition included) is a *covered*
+    position; maximal covered runs of ``min_run``+ tokens (default
+    ``k`` — every covered run is ≥ k long by construction, so the
+    default removes them all; raise it to only cut long boilerplate
+    runs) are dropped and the remaining tokens are re-joined with
+    single spaces.
+
+    Distributed shape (three bounded exchanges, nothing O(corpus) on
+    the driver):
+      1. the shared (gram, id, pos) explode + gram-hash co-partition
+         emits duplicated positions only (:func:`_dup_gram_positions` —
+         local count = global count by co-partition);
+      2. docs (id, text) and dup positions (id, pos) union with a side
+         tag and meet in ONE coarsened ``groupby(id-hash)`` — the
+         asof_join_shuffle pattern, so the text column moves once and
+         never multiplies per position;
+      3. the in-partition rewrite is vectorized pandas: token explode
+         with 1-based positions, covered = dup-start positions dilated
+         by k (np.repeat + arange), runs via the gaps-and-islands
+         cumcount trick, run-length filter, anti-merge, grouped join.
+
+    Returns a Dataset of (id_col, clean_text, n_removed) — one row per
+    input doc (clean_text = "" when everything was duplicated or the
+    doc had no tokens). The rewritten corpus is as big as the input, so
+    the result stays a Dataset; collect only at query scale."""
+    import pyarrow as pa
+
+    from .relational import add_coarse_part
+
+    if min_run is None:
+        min_run = k
+    dup_rows = _dup_gram_positions(ds, id_col, text_col, k=k,
+                                   n_parts=n_parts, batch_size=batch_size)
+
+    def doc_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "id": df[id_col].astype("int64"),
+            "text": df[text_col].fillna("").astype(str),
+            "pos": pd.Series([pd.NA] * len(df), dtype="Int64"),
+            "side": np.int8(0)})
+
+    def pos_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "id": df["id"].astype("int64"),
+            "text": pd.Series([None] * len(df), dtype="object"),
+            "pos": df["pos"].astype("Int64"),
+            "side": np.int8(1)})
+
+    unioned = (ds.select_columns([id_col, text_col])
+               .map_batches(doc_side, batch_format="pandas",
+                            batch_size=batch_size)
+               .union(dup_rows.map_batches(pos_side,
+                                           batch_format="pandas")))
+
+    def rewrite(group: pd.DataFrame) -> pa.Table:
+        docs = group[group["side"] == 0]
+        pos = group[group["side"] == 1]
+        out = pd.DataFrame({id_col: docs["id"].to_numpy(np.int64)})
+        if docs.empty:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "clean_text": pa.array([], type=pa.string()),
+                             "n_removed": pa.array([], type=pa.int64())})
+        # exploded tokens with 1-based positions (row-identity chained)
+        toks = docs["text"].fillna("").str.split()
+        t = (pd.DataFrame({"id": docs["id"].to_numpy(np.int64),
+                           "v": toks.to_numpy()})
+             .explode("v").dropna(subset=["v"]).reset_index())
+        t["tpos"] = t.groupby("index", sort=False).cumcount() + 1
+        if pos.empty:
+            clean = (t.groupby("id", sort=False)["v"]
+                     .agg(" ".join))
+            out["clean_text"] = (out[id_col].map(clean).fillna("")
+                                 .astype(str))
+            out["n_removed"] = np.int64(0)
+            return pa.Table.from_pandas(out, preserve_index=False)
+        # dilate each dup-gram start into its k covered positions
+        p = pos["pos"].to_numpy(np.int64)
+        pid = pos["id"].to_numpy(np.int64)
+        cov = (pd.DataFrame({
+            "id": np.repeat(pid, k),
+            "cpos": (p[:, None] + np.arange(k, dtype=np.int64)).ravel()})
+            .drop_duplicates().sort_values(["id", "cpos"],
+                                           kind="mergesort"))
+        # gaps-and-islands: consecutive covered positions share
+        # cpos - cumcount; filter runs shorter than min_run
+        rn = cov.groupby("id", sort=False).cumcount().to_numpy()
+        cov["grp"] = cov["cpos"].to_numpy() - rn
+        runlen = cov.groupby(["id", "grp"], sort=False)["cpos"] \
+            .transform("size")
+        rem = cov[runlen.to_numpy() >= min_run][["id", "cpos"]]
+        rem = rem.assign(_hit=True)
+        m = t.merge(rem, left_on=["id", "tpos"],
+                    right_on=["id", "cpos"], how="left")
+        m["_hit"] = m["_hit"].fillna(False).astype(bool)
+        kept = m[~m["_hit"]]
+        clean = kept.groupby("id", sort=False)["v"].agg(" ".join)
+        nrem = m.groupby("id", sort=False)["_hit"].sum()
+        out["clean_text"] = out[id_col].map(clean).fillna("").astype(str)
+        out["n_removed"] = (out[id_col].map(nrem).fillna(0)
+                            .astype("int64"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (add_coarse_part(unioned, "id", n_parts)
+            .groupby("_kpart")
+            .map_groups(lambda g: rewrite(g.drop(columns=["_kpart"])),
+                        batch_format="pandas"))

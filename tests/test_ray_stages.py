@@ -1618,6 +1618,90 @@ def test_duplicate_span_stats(ray_session):
     assert (r.n_dup_grams, r.covered_tokens) == (2, 10)
 
 
+def test_remove_duplicate_spans_golden(ray_session):
+    """ExactSubstr removal on a hand-built corpus: covered runs >=
+    min_run are cut, shorter covered runs survive, unique/empty docs
+    pass through; every input doc gets exactly one output row."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import remove_duplicate_spans
+    rows = [
+        {"doc_id": 1, "text": "x a b c y"},           # dup run 2..4 (3)
+        {"doc_id": 2, "text": "a b c z"},             # dup run 1..3 (3)
+        {"doc_id": 3, "text": "h p q r s t u"},       # dup run 2..7 (6)
+        {"doc_id": 4, "text": "p q r s t u k"},       # dup run 1..6 (6)
+        {"doc_id": 5, "text": "unique tokens entirely here"},
+        {"doc_id": 6, "text": ""},
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = (remove_duplicate_spans(ds, "doc_id", "text", k=3, n_parts=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in out.itertuples()}
+    assert got == {1: ("x y", 3), 2: ("z", 3), 3: ("h", 6),
+                   4: ("k", 6), 5: ("unique tokens entirely here", 0),
+                   6: ("", 0)}
+    # min_run above the short runs: only the 6-token runs are cut
+    out5 = (remove_duplicate_spans(ds, "doc_id", "text", k=3,
+                                   min_run=5, n_parts=4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got5 = {r.doc_id: (r.clean_text, r.n_removed)
+            for r in out5.itertuples()}
+    assert got5[1] == ("x a b c y", 0)
+    assert got5[2] == ("a b c z", 0)
+    assert got5[3] == ("h", 6)
+    assert got5[4] == ("k", 6)
+
+
+def test_remove_duplicate_spans_vs_bruteforce(ray_session):
+    """Randomized (seeded) corpus: the distributed rewrite equals a
+    driver-side brute-force reimplementation exactly, including the
+    self-repetition and run-length-filter branches."""
+    import collections
+
+    import ray.data
+    from pdf_parser_ray.stages.textstats import remove_duplicate_spans
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(10)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 18)))
+             for _ in range(50)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    k, min_run = 3, 4
+    out = (remove_duplicate_spans(
+        ray.data.from_items(rows).repartition(4), "doc_id", "text",
+        k=k, min_run=min_run, n_parts=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # brute force
+    counts = collections.Counter()
+    docgrams = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        gs = [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+        docgrams[i] = gs
+        counts.update(gs)
+    expect = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        covered = set()
+        for j, g in enumerate(docgrams[i]):
+            if counts[g] >= 2:
+                covered.update(range(j, j + k))
+        # maximal runs
+        drop = set()
+        run = []
+        for p in range(len(toks) + 1):
+            if p in covered:
+                run.append(p)
+            else:
+                if len(run) >= min_run:
+                    drop.update(run)
+                run = []
+        kept = [w for p, w in enumerate(toks) if p not in drop]
+        expect[i] = (" ".join(kept), len(drop))
+    got = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in out.itertuples()}
+    assert got == expect
+
+
 def test_importance_weights(ray_session):
     """LLR sign sanity: a doc made of target-only tokens scores higher
     than one made of off-target tokens; smoothing keeps unseen-in-target
