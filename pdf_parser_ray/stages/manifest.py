@@ -58,10 +58,20 @@ def url_bucket(urls: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
     No per-row Python (this runs in the resume filter and once per write
     wave over every row — the r1 crc32 loop was the hot spot there).
     Deterministic across processes/runs: pure arithmetic, no seed."""
-    arr = urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls
+    h = string_hash64(urls)
+    return pa.array((h % np.uint64(n_buckets)).astype(np.int32),
+                    type=pa.int32())
+
+
+def string_hash64(strs: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Full 64-bit stable hash per string value — the un-bucketed core of
+    :func:`url_bucket` (same zero-copy buffer walk + splitmix64 finish),
+    exposed so multi-key coarse partitioning can combine per-column
+    hashes without losing entropy to an early modulo."""
+    arr = strs.combine_chunks() if isinstance(strs, pa.ChunkedArray) else strs
     n = len(arr)
     if n == 0:
-        return pa.array([], type=pa.int32())
+        return np.empty(0, dtype=np.uint64)
     la = arr.cast(pa.large_binary())
     off_buf = np.frombuffer(la.buffers()[1], dtype=np.int64)
     offsets = off_buf[la.offset:la.offset + n + 1]
@@ -75,9 +85,7 @@ def url_bucket(urls: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
         weighted = (seg + np.uint64(1)) * _POW[pos & 63]
         nz = lengths > 0
         sums[nz] = np.add.reduceat(weighted, rel[:-1][nz])
-    h = _mix64(sums ^ (lengths.astype(np.uint64) << np.uint64(32)))
-    return pa.array((h % np.uint64(n_buckets)).astype(np.int32),
-                    type=pa.int32())
+    return _mix64(sums ^ (lengths.astype(np.uint64) << np.uint64(32)))
 
 
 def add_bucket_column(ds, n_buckets: int = 64):

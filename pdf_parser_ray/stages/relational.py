@@ -22,13 +22,24 @@ AGGS = ("sum", "count", "min", "max")
 
 
 def pre_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
-                  batch_size: int = 8192) -> "pd.DataFrame":
+                  batch_size: int = 8192, *, as_dataset: bool = False,
+                  n_parts: int = 64):
     """Partial+final aggregation.
 
     ``aggs``: out_col → (in_col, fn) with fn in sum/count/min/max; ``avg``
     is derived by callers as sum/count. Per-batch pandas groupby computes
-    partials; the final combine groups the (small) partial rows. Returns
-    the final pandas frame (aggregate results are driver-small by contract).
+    partials; the final combine groups the (small) partial rows. The
+    default returns the final pandas frame (aggregate results are
+    driver-small by contract — report-style key spaces).
+
+    ``as_dataset=True`` is the HIGH-CARDINALITY finish: the partial rows
+    take one coarsened ``groupby(key-hash)`` exchange (multi-key hashing
+    via :func:`add_coarse_part`) and each partition folds every key it
+    holds vectorized — the result stays a Dataset of one row per distinct
+    key combo, nothing O(distinct keys) on the driver. Float op-order
+    note (advisor): either finish re-sums per-batch float partials in
+    block/partition order, a different FP association than a SQL
+    engine's direct per-group sum — round on comparison.
     """
     partial_specs = {}
     for out, (col, fn) in aggs.items():
@@ -46,15 +57,22 @@ def pre_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
                 cols[out] = getattr(g[col], fn)()
         return pd.DataFrame(cols).reset_index()
 
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False)
+        out_cols = {}
+        for out, (_, fn) in partial_specs.items():
+            out_cols[out] = g[out].sum() if fn in ("sum", "count") \
+                else getattr(g[out], fn)()
+        return pd.DataFrame(out_cols).reset_index()
+
     partials = ds.map_batches(partial, batch_format="pandas",
                               batch_size=batch_size)
-    final_df = partials.to_pandas()
-    g = final_df.groupby(keys, sort=False)
-    out_cols = {}
-    for out, (_, fn) in partial_specs.items():
-        out_cols[out] = g[out].sum() if fn in ("sum", "count") \
-            else getattr(g[out], fn)()
-    return pd.DataFrame(out_cols).reset_index()
+    if as_dataset:
+        return (add_coarse_part(partials, keys, n_parts)
+                .groupby("_kpart")
+                .map_groups(lambda g: fold(g.drop(columns=["_kpart"])),
+                            batch_format="pandas"))
+    return fold(partials.to_pandas())
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, *, on: str,
@@ -223,28 +241,47 @@ def shuffle_join(left, right, *, left_on: str, right_on: str | None = None,
             .groupby("_kpart").map_groups(merge, batch_format="pyarrow"))
 
 
-def add_coarse_part(ds, key: str, n_parts: int = 64,
+def add_coarse_part(ds, key: str | list[str], n_parts: int = 64,
                     part_col: str = "_kpart"):
     """Append a COARSENED partition key — hash(key) % n_parts — so a
     downstream ``groupby(part_col)`` co-locates all rows of each key while
     the executor sees ``n_parts`` groups instead of one per key (Ray's
     ``map_groups`` costs ~0.25 ms of Python per group; 15k customer keys
-    cost ~4 s of pure dispatch). Works for string and integer keys."""
-    from .manifest import _mix64, url_bucket
+    cost ~4 s of pure dispatch). Works for string and integer keys; a
+    LIST of keys hashes each column at full 64-bit width and mixes the
+    per-column hashes (no early modulo, no string concatenation)."""
+    from .manifest import _mix64, string_hash64, url_bucket
 
     import numpy as np
 
-    def add(batch: pa.Table) -> pa.Table:
-        col = batch[key]
+    def col_hash(batch: pa.Table, name: str) -> np.ndarray:
+        col = batch[name]
         if pa.types.is_integer(col.type):
             vals = col.combine_chunks().to_numpy(zero_copy_only=False) \
                 if isinstance(col, pa.ChunkedArray) else \
                 col.to_numpy(zero_copy_only=False)
-            part = (_mix64(vals.astype(np.uint64))
-                    % np.uint64(n_parts)).astype(np.int64)
-            arr = pa.array(part, type=pa.int64())
+            return _mix64(vals.astype(np.uint64))
+        return string_hash64(col.cast(pa.string()))
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def add(batch: pa.Table) -> pa.Table:
+        if len(keys) == 1:
+            col = batch[keys[0]]
+            if pa.types.is_integer(col.type):
+                part = (col_hash(batch, keys[0])
+                        % np.uint64(n_parts)).astype(np.int64)
+                arr = pa.array(part, type=pa.int64())
+            else:
+                arr = url_bucket(col.cast(pa.string()),
+                                 n_parts).cast(pa.int64())
         else:
-            arr = url_bucket(col.cast(pa.string()), n_parts).cast(pa.int64())
+            h = np.zeros(batch.num_rows, dtype=np.uint64)
+            for name in keys:
+                h = _mix64(h * np.uint64(0x100000001B3)
+                           ^ col_hash(batch, name))
+            arr = pa.array((h % np.uint64(n_parts)).astype(np.int64),
+                           type=pa.int64())
         return batch.append_column(part_col, arr)
 
     return ds.map_batches(add, batch_format="pyarrow")
@@ -684,22 +721,44 @@ def grouped_running_sum(ds, key: str, order_by: list[str],
 
 def grouping_sets_aggregate(ds, keys: list[str], sets, aggs: dict, *,
                             all_label: str = "ALL",
-                            batch_size: int = 8192) -> pd.DataFrame:
+                            batch_size: int = 8192,
+                            mode: str = "driver",
+                            n_parts: int = 64):
     """GROUP BY GROUPING SETS: the finest level (all ``keys``) runs as
     ONE :func:`pre_aggregate` pass over the data; every requested
-    grouping set folds from that O(distinct key combos) partial frame
-    on the driver — the input streams exactly once regardless of how
-    many sets. sum/count fold by sum, min/max by min/max (avg = derive
-    sum/count downstream, as everywhere in this module). Keys absent
-    from a set carry ``all_label`` (deterministic,
-    SQL-COALESCE-replicable — a NULL would hash differently between
-    pandas and the oracle). Keys must be non-null and must not collide
-    with ``all_label``: pandas groupby silently drops NULL-keyed rows
-    (diverging from SQL, which totals them), and a genuine key equal
-    to the label would be indistinguishable from subtotal rows — both
-    raise (per batch, BEFORE the groupby can hide them) instead of
-    corrupting totals. :func:`rollup_aggregate` (prefix sets) and
-    :func:`cube_aggregate` (the power set) are thin wrappers."""
+    grouping set folds FROM that finest level — the input streams
+    exactly once regardless of how many sets. sum/count fold by sum,
+    min/max by min/max (avg = derive sum/count downstream, as
+    everywhere in this module). Keys absent from a set carry
+    ``all_label`` (deterministic, SQL-COALESCE-replicable — a NULL
+    would hash differently between pandas and the oracle). Keys must
+    be non-null and must not collide with ``all_label``: pandas
+    groupby silently drops NULL-keyed rows (diverging from SQL, which
+    totals them), and a genuine key equal to the label would be
+    indistinguishable from subtotal rows — both raise (per batch,
+    BEFORE the groupby can hide them) instead of corrupting totals.
+    :func:`rollup_aggregate` (prefix sets) and :func:`cube_aggregate`
+    (the power set) are thin wrappers.
+
+    ``mode="driver"`` (default) folds the coarser levels from the
+    finest-level pandas frame on the driver — right for report-style
+    key spaces (the frame is O(distinct combos)). ``mode="distributed"``
+    is the HIGH-CARDINALITY path: the finest level stays a Dataset
+    (:func:`pre_aggregate` ``as_dataset=True``), each coarser level is
+    one coarsened ``groupby(level-key-hash)`` exchange over that
+    partial Dataset, and the result is returned as a Dataset (union of
+    levels) — nothing O(distinct combos) ever lands on the driver. In
+    distributed mode key columns come back as STRINGS (one union
+    schema across levels) and agg columns as float64 (int64 for
+    count).
+
+    Float op-order note (advisor): coarser-level SUMs re-add
+    finest-level float partials — a different FP association than a
+    SQL engine's direct per-group sum over raw rows. At the 2-dp
+    rounding of the revenue oracles this has never flipped a digit,
+    but a boundary value could; if a grouping-sets oracle ever hash
+    flakes on the last digit, diagnose HERE first (same ULP class as
+    the documented kmeans caveat)."""
     def _guard(df: pd.DataFrame) -> pd.DataFrame:
         if df[keys].isna().any().any():
             raise ValueError(
@@ -712,11 +771,17 @@ def grouping_sets_aggregate(ds, keys: list[str], sets, aggs: dict, *,
                 "pick a different all_label")
         return df
 
-    fine = pre_aggregate(ds.map_batches(_guard, batch_format="pandas",
-                                        batch_size=batch_size),
-                         keys, aggs, batch_size=batch_size)
+    guarded = ds.map_batches(_guard, batch_format="pandas",
+                             batch_size=batch_size)
     fold_fn = {out: ("sum" if fn in ("sum", "count") else fn)
                for out, (_, fn) in aggs.items()}
+    if mode == "distributed":
+        return _grouping_sets_distributed(
+            guarded, keys, sets, aggs, fold_fn, all_label=all_label,
+            batch_size=batch_size, n_parts=n_parts)
+    if mode != "driver":
+        raise ValueError(f"unknown grouping-sets mode {mode}")
+    fine = pre_aggregate(guarded, keys, aggs, batch_size=batch_size)
     frames = []
     for lvl in sets:
         lvl = list(lvl)
@@ -735,29 +800,112 @@ def grouping_sets_aggregate(ds, keys: list[str], sets, aggs: dict, *,
     return pd.concat(frames, ignore_index=True)
 
 
+def _grouping_sets_distributed(guarded, keys, sets, aggs, fold_fn, *,
+                               all_label, batch_size, n_parts):
+    """Dataset-native grouping-sets finish (see
+    :func:`grouping_sets_aggregate` ``mode="distributed"``): fine level
+    = one coarsened pre-aggregate exchange; each non-empty coarser
+    level = one more coarsened exchange over the (already reduced)
+    fine Dataset; the grand-total level folds single-row per-block
+    partials (O(blocks) driver rows, not O(combos))."""
+    import ray.data
+
+    out_schema = pa.schema(
+        [pa.field(k, pa.string()) for k in keys]
+        + [pa.field(out, pa.int64() if aggs[out][1] == "count"
+                    else pa.float64()) for out in fold_fn])
+
+    def to_table(g: pd.DataFrame) -> pa.Table:
+        cols = [pa.array(g[f.name], type=f.type, from_pandas=True)
+                for f in out_schema]
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    def to_str(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        for k in keys:
+            out[k] = out[k].astype(str)
+        return out
+
+    fine = pre_aggregate(
+        guarded.map_batches(to_str, batch_format="pandas",
+                            batch_size=batch_size),
+        keys, aggs, batch_size=batch_size, as_dataset=True,
+        n_parts=n_parts).materialize()  # consumed once per level
+
+    def level_fold(lvl):
+        def fn(df: pd.DataFrame) -> pa.Table:
+            df = df.drop(columns=["_kpart"])
+            g = df.groupby(lvl, sort=False).agg(
+                {out: f for out, f in fold_fn.items()}).reset_index()
+            for dropped in (k for k in keys if k not in lvl):
+                g[dropped] = all_label
+            return to_table(g)
+        return fn
+
+    parts_ds = []
+    for lvl in sets:
+        lvl = list(lvl)
+        if lvl == keys:
+            parts_ds.append(fine.map_batches(
+                lambda df: to_table(df), batch_format="pandas"))
+        elif lvl:
+            parts_ds.append(
+                add_coarse_part(fine, lvl, n_parts)
+                .groupby("_kpart").map_groups(level_fold(lvl),
+                                              batch_format="pandas"))
+        else:
+            def block_total(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    [{out: (df[out].sum() if fn == "sum"
+                            else getattr(df[out], fn)())
+                      for out, fn in fold_fn.items()}])
+
+            gt = (fine.map_batches(block_total, batch_format="pandas")
+                  .to_pandas())
+            row = pd.DataFrame(
+                [{out: (gt[out].sum() if fn == "sum"
+                        else getattr(gt[out], fn)())
+                  for out, fn in fold_fn.items()}])
+            for k in keys:
+                row[k] = all_label
+            parts_ds.append(ray.data.from_arrow(to_table(row)))
+    result = parts_ds[0]
+    for extra in parts_ds[1:]:
+        result = result.union(extra)
+    return result
+
+
 def rollup_aggregate(ds, keys: list[str], aggs: dict, *,
-                     all_label: str = "ALL",
-                     batch_size: int = 8192) -> pd.DataFrame:
+                     all_label: str = "ALL", batch_size: int = 8192,
+                     mode: str = "driver", n_parts: int = 64):
     """GROUP BY ROLLUP(keys...) = grouping sets over the key-list
     prefixes, longest first (see :func:`grouping_sets_aggregate`)."""
     sets = [keys[:i] for i in range(len(keys), -1, -1)]
     return grouping_sets_aggregate(ds, keys, sets, aggs,
                                    all_label=all_label,
-                                   batch_size=batch_size)
+                                   batch_size=batch_size,
+                                   mode=mode, n_parts=n_parts)
 
 
 def grouped_corr(ds, key: str, x_col: str, y_col: str, *,
-                 batch_size: int = 8192) -> pd.DataFrame:
+                 batch_size: int = 8192,
+                 n_parts: int = 64) -> pd.DataFrame:
     """Pearson correlation per key from moment partials — one streaming
     pass: each batch contributes (n, Σx, Σy, Σxy, Σx², Σy²) per key
-    (six numbers per key per batch, never the rows), the driver folds
-    the partials, and
+    (six numbers per key per batch, never the rows), a coarsened
+    ``groupby(key-hash)`` exchange folds them to ONE row per distinct
+    key (advisor: the earlier driver-side fold collected
+    O(batches × keys) partial rows — the only aggregate in this module
+    that skipped the coarsened-combine discipline), and
 
         r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²ᵗᵒᵗ) · √(n·Σy² − Σy²ᵗᵒᵗ))
 
     is evaluated ONCE from the folded sums — the exact expression a SQL
     oracle can mirror term for term (never the incremental-update form,
-    whose float error path differs). Rows with a null x or y are
+    whose float error path differs; the fold re-adds per-batch float
+    partials in partition order, a different FP association than SQL's
+    direct per-group sums — masked by the 6-dp round, same ULP class
+    as the documented kmeans caveat). Rows with a null x or y are
     dropped (SQL aggregate semantics)."""
     import numpy as np
 
@@ -772,9 +920,17 @@ def grouped_corr(ds, key: str, x_col: str, y_col: str, *,
             sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"))
         return agg.reset_index()
 
-    parts = (ds.select_columns([key, x_col, y_col])
-             .map_batches(part, batch_format="pandas",
-                          batch_size=batch_size).to_pandas())
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.drop(columns=["_kpart"])
+                .groupby(key, sort=False).sum(numeric_only=True)
+                .reset_index())
+
+    part_ds = (ds.select_columns([key, x_col, y_col])
+               .map_batches(part, batch_format="pandas",
+                            batch_size=batch_size))
+    parts = (add_coarse_part(part_ds, key, n_parts)
+             .groupby("_kpart").map_groups(fold, batch_format="pandas")
+             .to_pandas())
     tot = parts.groupby(key, sort=True).sum(numeric_only=True)
     n = tot["n"].to_numpy(np.float64)
     sx, sy = tot["sx"].to_numpy(), tot["sy"].to_numpy()
@@ -789,8 +945,8 @@ def grouped_corr(ds, key: str, x_col: str, y_col: str, *,
 
 
 def cube_aggregate(ds, keys: list[str], aggs: dict, *,
-                   all_label: str = "ALL",
-                   batch_size: int = 8192) -> pd.DataFrame:
+                   all_label: str = "ALL", batch_size: int = 8192,
+                   mode: str = "driver", n_parts: int = 64):
     """GROUP BY CUBE(keys...) = grouping sets over the power set of the
     key list, finest first (see :func:`grouping_sets_aggregate`)."""
     from itertools import combinations
@@ -799,7 +955,8 @@ def cube_aggregate(ds, keys: list[str], aggs: dict, *,
             for c in combinations(keys, r)]
     return grouping_sets_aggregate(ds, keys, sets, aggs,
                                    all_label=all_label,
-                                   batch_size=batch_size)
+                                   batch_size=batch_size,
+                                   mode=mode, n_parts=n_parts)
 
 
 def grouped_lag_delta(ds, *, key: str, ts: str, id_col: str,

@@ -1722,6 +1722,55 @@ def test_importance_weights(ray_session):
     assert np.isfinite(list(llr.values())).all()
 
 
+def test_grouping_sets_distributed_parity_high_cardinality(ray_session):
+    """ROLLUP mode parity on a key space the driver path would have
+    materialized: 105,500 distinct (k1, k2) combos — the distributed
+    finish (fine level + per-level coarsened exchanges, result stays a
+    Dataset) must equal the driver fold row for row. Integer values so
+    both folds are exact (no FP-association slack)."""
+    import ray.data
+    from pdf_parser_ray.stages.relational import rollup_aggregate
+    n = 200_000
+    i = np.arange(n)
+    df = pd.DataFrame({
+        "k1": pd.Series(i % 500).astype(str),
+        "k2": pd.Series((i * 7) % 211).astype(str),
+        "v": (i % 97).astype("int64")})
+    ds = ray.data.from_pandas(df).repartition(8)
+    aggs = {"s": ("v", "sum"), "n_rows": ("v", "count")}
+    drv = rollup_aggregate(ds, ["k1", "k2"], aggs)
+    dist = (rollup_aggregate(ds, ["k1", "k2"], aggs,
+                             mode="distributed").to_pandas())
+    # lcm(500, 211) = 105500 fine combos + 500 k1 subtotals + 1 total
+    assert len(drv) == len(dist) == 105_500 + 500 + 1
+    for f in (drv, dist):
+        f["s"] = f["s"].astype("float64")
+        f["n_rows"] = f["n_rows"].astype("int64")
+    drv = drv.sort_values(["k1", "k2"], ignore_index=True)
+    dist = dist[drv.columns].sort_values(["k1", "k2"], ignore_index=True)
+    pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_cube_distributed_parity_small(ray_session):
+    """CUBE mode parity including the grand-total (empty) level and the
+    non-prefix [k2] level, plus min/max folds."""
+    import ray.data
+    from pdf_parser_ray.stages.relational import cube_aggregate
+    rows = [{"k1": f"a{i % 3}", "k2": f"b{i % 4}", "v": float(i)}
+            for i in range(100)]
+    ds = ray.data.from_items(rows).repartition(3)
+    aggs = {"s": ("v", "sum"), "mx": ("v", "max"), "mn": ("v", "min")}
+    drv = cube_aggregate(ds, ["k1", "k2"], aggs)
+    dist = cube_aggregate(ds, ["k1", "k2"], aggs,
+                          mode="distributed").to_pandas()
+    for f in (drv, dist):
+        for c in ("s", "mx", "mn"):
+            f[c] = f[c].astype("float64")
+    drv = drv.sort_values(["k1", "k2"], ignore_index=True)
+    dist = dist[drv.columns].sort_values(["k1", "k2"], ignore_index=True)
+    pd.testing.assert_frame_equal(drv, dist)
+
+
 def test_shuffle_join_semi_anti(ray_session):
     """Shuffle semi/anti modes: left columns only, right payload never
     ships, duplicates on the right don't duplicate left rows."""
