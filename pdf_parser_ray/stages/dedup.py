@@ -1454,6 +1454,70 @@ def dedup_against_index(new_ds, index_dir: str, id_col: str,
             .astype("int64").reset_index())
 
 
+def compact_index(index_dir: str, *, max_in_flight: int = 16) -> dict:
+    """Compact a persisted index (:func:`build_fingerprint_index`'s
+    ``fp_part=`` layout or :func:`build_minhash_band_index`'s
+    ``band_part=`` — any single-level hive dir tree): rewrite each
+    bucket's accumulated per-wave file set to ONE file per bucket.
+
+    N ingest waves append N file sets per bucket; past ~100 waves the
+    probe pays per-file open/footer overhead again (the 4096→512
+    lesson). Buckets are disjoint by construction, so compaction is
+    embarrassingly parallel — one Ray task per multi-file bucket, each
+    reading its own files only. Parameter sidecars (``_index_meta.json``)
+    are untouched. Crash-safe: the merged file lands via atomic
+    ``os.replace`` before the wave files are unlinked, and a crash in
+    between leaves duplicate rows that every probe tolerates (fp probe
+    takes min match_id; band probe drop-duplicates candidates) and the
+    next compact removes. Single-node note: same shared-filesystem
+    assumption as the builders/probes (documented there).
+
+    Returns {"buckets": total, "compacted": rewritten,
+    "files_before": n, "files_after": n}.
+    """
+    import os
+
+    import ray
+
+    @ray.remote
+    def compact_bucket(bdir: str) -> tuple[int, int]:
+        import pyarrow.parquet as _pq
+
+        files = sorted(f for f in os.listdir(bdir)
+                       if f.endswith(".parquet"))
+        if len(files) <= 1:
+            return len(files), len(files)
+        merged = pa.concat_tables(
+            [_pq.read_table(os.path.join(bdir, f)) for f in files],
+            promote_options="default")
+        tmp = os.path.join(bdir, "_compact.tmp")
+        _pq.write_table(merged, tmp)
+        final = "compacted-000.parquet"
+        os.replace(tmp, os.path.join(bdir, final))
+        for f in files:
+            if f != final:
+                os.remove(os.path.join(bdir, f))
+        return len(files), 1
+
+    bdirs = [os.path.join(index_dir, d) for d in sorted(os.listdir(index_dir))
+             if "=" in d and os.path.isdir(os.path.join(index_dir, d))]
+    stats = {"buckets": len(bdirs), "compacted": 0,
+             "files_before": 0, "files_after": 0}
+    pending, results = [], []
+    for bdir in bdirs:
+        pending.append(compact_bucket.remote(bdir))
+        if len(pending) >= max_in_flight:
+            done, pending = ray.wait(pending, num_returns=1)
+            results.extend(ray.get(done))
+    results.extend(ray.get(pending))
+    for before, after in results:
+        stats["files_before"] += before
+        stats["files_after"] += after
+        if before > after:
+            stats["compacted"] += 1
+    return stats
+
+
 # ---------------------------------------------------------------------------
 # Persisted MinHash band index — incremental NEAR-dup (new-shard vs corpus)
 # ---------------------------------------------------------------------------

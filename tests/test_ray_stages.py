@@ -1412,6 +1412,75 @@ def test_minhash_band_index_incremental(ray_session, tmp_path):
                                  "doc_id", "text", bands=8, n_buckets=8)
 
 
+def test_compact_index_waves(ray_session, tmp_path):
+    """5 sequential ingest waves append 5 file sets per touched bucket;
+    compact rewrites each bucket to ONE file and probes return exactly
+    the pre-compaction matches — for BOTH persisted index layouts."""
+    import os
+
+    import ray.data
+    from pdf_parser_ray.stages.dedup import (build_fingerprint_index,
+                                             build_minhash_band_index,
+                                             compact_index,
+                                             dedup_against_band_index,
+                                             dedup_against_index)
+
+    def bucket_file_counts(idx):
+        return {d: len([f for f in os.listdir(os.path.join(idx, d))
+                        if f.endswith(".parquet")])
+                for d in os.listdir(idx)
+                if os.path.isdir(os.path.join(idx, d))}
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "rests in the warm afternoon sun near the river bank ")
+    fp_idx = str(tmp_path / "fpidx")
+    band_idx = str(tmp_path / "bandidx")
+    for wave in range(5):
+        docs = [{"doc_id": wave * 100 + i,
+                 "text": base + f"wave {wave} doc {i}"}
+                for i in range(20)]
+        ds = ray.data.from_items(docs).repartition(2)
+        build_fingerprint_index(ds, "doc_id", "text", fp_idx, n_buckets=4)
+        build_minhash_band_index(ds, "doc_id", "text", band_idx,
+                                 n_buckets=4)
+    assert max(bucket_file_counts(fp_idx).values()) > 1
+    new = ray.data.from_items(
+        [{"doc_id": 9000, "text": base + "wave 2 doc 3"},    # exact dup
+         {"doc_id": 9001, "text": base + "wave 4 doc 7 x"},  # near dup
+         {"doc_id": 9002, "text": "totally novel herring wombat "
+                                  "zeppelin quartz unrelated entirely"}])
+    fp_before = dedup_against_index(new, fp_idx, "doc_id", "text",
+                                    n_buckets=4)
+    band_before = (dedup_against_band_index(new, band_idx, "doc_id",
+                                            "text", threshold=0.7,
+                                            n_buckets=4).to_pandas()
+                   .sort_values(["doc_id", "match_id"],
+                                ignore_index=True))
+    s1 = compact_index(fp_idx)
+    s2 = compact_index(band_idx)
+    assert s1["compacted"] > 0 and s2["compacted"] > 0
+    assert all(v == 1 for v in bucket_file_counts(fp_idx).values())
+    assert all(v == 1 for v in bucket_file_counts(band_idx).values())
+    # sidecar preserved; probes identical post-compaction
+    assert os.path.exists(os.path.join(band_idx, "_index_meta.json"))
+    fp_after = dedup_against_index(new, fp_idx, "doc_id", "text",
+                                   n_buckets=4)
+    band_after = (dedup_against_band_index(new, band_idx, "doc_id",
+                                           "text", threshold=0.7,
+                                           n_buckets=4).to_pandas()
+                  .sort_values(["doc_id", "match_id"],
+                               ignore_index=True))
+    pd.testing.assert_frame_equal(fp_before.reset_index(drop=True),
+                                  fp_after.reset_index(drop=True))
+    pd.testing.assert_frame_equal(band_before, band_after)
+    assert dict(zip(fp_after.doc_id, fp_after.match_id)) == {9000: 203}
+    assert 407 in set(
+        band_after[band_after.doc_id == 9001]["match_id"])
+    # idempotent: a second compact is a no-op
+    s3 = compact_index(fp_idx)
+    assert s3["compacted"] == 0 and s3["files_after"] == s3["files_before"]
+
+
 def test_decode_ppm_real(ray_session):
     """PPM payloads decode for REAL through the actor-pool stage: true
     dimensions, resize, and content-derived features (strict mode)."""
