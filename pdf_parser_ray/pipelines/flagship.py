@@ -253,13 +253,99 @@ def dedup_by_content(corpus_ds, *, n_parts: int = 64,
     return corpus_ds.map_batches(keep, batch_format="pyarrow")
 
 
+def near_dedup_records(extracted, *, extra_text_ds=None,
+                       threshold: float = 0.8, num_perm: int = 64,
+                       bands: int = 16, k: int = 3, n_parts: int = 64,
+                       max_bucket: int | None = 256):
+    """Near-duplicate dedup over EXTRACTED text — the flagship's opt-in
+    MinHash stage. Exact content dedup (:func:`dedup_by_content`)
+    cannot catch re-hosted near-copies whose extracted text differs
+    only in the url-bearing front matter; this stage bands the
+    extracted text (`ok` rows with non-empty text only — error/skipped
+    rows never cluster), verifies signature agreement ≥ ``threshold``
+    in-partition, clusters the verified pairs, and drops every
+    non-representative row (rep = min 64-bit url-hash id of the
+    cluster, deterministic under any partitioning; the 2⁻⁶⁴ id
+    collision chance is the usual content-addressing gamble).
+
+    Shuffle discipline matches the exact stages: only (id, band_key,
+    sig) projections shuffle; the drop list is bounded by the near-dup
+    count and broadcasts; payloads never move.
+
+    Resume interaction (the :func:`dedup_by_content` pattern):
+    ``extra_text_ds`` — (url, extracted_text, status) rows already
+    WRITTEN to completed buckets — unions into the decision pass so a
+    near-dup pair straddling the crash point dedupes identically to a
+    fresh run. Drops only ever apply to PENDING rows: the crashed run
+    decided over the full input pre-write, so written rows cannot be
+    losers of any cluster the resume rediscovers."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..stages.dedup import (_minhash_verify_partition,
+                                cluster_pairs_dataset,
+                                minhash_band_dataset)
+    from ..stages.manifest import string_hash64
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(batch["status"], "ok"),
+                       pc.not_equal(batch["extracted_text"], ""))
+        b = batch.filter(mask)
+        ids = string_hash64(b["url"].combine_chunks()
+                            if isinstance(b["url"], pa.ChunkedArray)
+                            else b["url"]).view(np.int64)
+        return pa.table({
+            "_nd_id": pa.array(ids, type=pa.int64()),
+            "extracted_text": b["extracted_text"].cast(pa.large_string())})
+
+    proj = extracted.map_batches(to_rows, batch_format="pyarrow")
+    if extra_text_ds is not None:
+        proj = proj.union(extra_text_ds.map_batches(
+            to_rows, batch_format="pyarrow"))
+
+    band_ds = minhash_band_dataset(proj, "extracted_text", "_nd_id",
+                                   num_perm=num_perm, bands=bands, k=k,
+                                   n_parts=n_parts)
+    pair_ds = band_ds.groupby("band_part").map_groups(
+        _minhash_verify_partition("_nd_id", num_perm, threshold,
+                                  max_bucket),
+        batch_format="pandas").materialize()
+
+    def touched(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(np.concatenate([df["a"].to_numpy(np.int64),
+                                        df["b"].to_numpy(np.int64)])) \
+            if len(df) else np.empty(0, dtype=np.int64)
+        return pd.DataFrame({"_nd_id": ids})
+
+    ids_ds = pair_ds.map_batches(touched, batch_format="pandas")
+    clusters = cluster_pairs_dataset(pair_ds, ids_ds, "_nd_id",
+                                     n_parts=n_parts)
+    losers = clusters.map_batches(
+        lambda df: df.loc[df["id"] != df["rep"], ["id"]],
+        batch_format="pandas").to_pandas()
+    if losers.empty:
+        return extracted
+    loser_ref = ray.put(np.unique(losers["id"].to_numpy(np.int64)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(loser_ref)
+        ids = string_hash64(batch["url"].combine_chunks()
+                            if isinstance(batch["url"], pa.ChunkedArray)
+                            else batch["url"]).view(np.int64)
+        return batch.filter(pa.array(~np.isin(ids, drop)))
+
+    return extracted.map_batches(keep, batch_format="pyarrow")
+
+
 def run_flagship(corpus_path, facts_path: str | None = None,
                  out_dir: str | None = None, *, dedup: bool | str = True,
                  consistency: bool = True, concurrency=None,
                  batch_size: int = 16, n_buckets: int = 64,
                  skew_threshold: int = SKEW_SPLIT_BYTES,
                  sequence_mode: str = "broadcast",
-                 content_dedup: bool = False):
+                 content_dedup: bool = False,
+                 near_dedup: bool = False):
     """Build (and optionally write) the flagship extraction Dataset.
 
     ``dedup``: True/"post" drops duplicate-url captures *after* extraction
@@ -268,6 +354,10 @@ def run_flagship(corpus_path, facts_path: str | None = None,
     decision pass over the raw input first — pay one serial projection
     read to skip extracting duplicates, worth it when the dup rate is
     high. False disables.
+
+    ``near_dedup``: opt-in MinHash near-dup over extracted text
+    (:func:`near_dedup_records`) — catches re-hosted near-copies exact
+    content dedup can't; resume-consistent via the written-bucket union.
 
     ``sequence_mode``: "broadcast" (default) sends the url→sequence and
     first-wins mapping tables to every task via ``ray.put`` — fastest
@@ -370,6 +460,28 @@ def run_flagship(corpus_path, facts_path: str | None = None,
         extracted = extracted.materialize()
     if dedup in (True, "post"):
         extracted = dedup_by_url(extracted)
+    if near_dedup:
+        # MinHash near-dup over extracted text (opt-in). On a resume the
+        # WRITTEN buckets' text rows union into the decision pass so a
+        # near-dup pair straddling the crash point dedupes exactly like
+        # a fresh run (drops only apply to pending rows — see
+        # near_dedup_records).
+        extra_text = None
+        if out_dir:
+            import os as _osnd
+
+            import ray.data as _rdnd
+            done = MAN.completed_buckets(out_dir, fingerprint, n_buckets)
+            done_files = []
+            for b in sorted(done):
+                bdir = f"{out_dir}/bucket={b}"
+                done_files += [f"{bdir}/{f}" for f in _osnd.listdir(bdir)
+                               if f.endswith(".parquet")]
+            if done_files:
+                extra_text = _rdnd.read_parquet(
+                    done_files,
+                    columns=["url", "extracted_text", "status"])
+        extracted = near_dedup_records(extracted, extra_text_ds=extra_text)
     if consistency:
         # On a resume, the pending rows must aggregate against the rows in
         # the already-completed buckets too, or mappings/sequences diverge

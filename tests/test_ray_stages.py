@@ -1412,6 +1412,70 @@ def test_minhash_band_index_incremental(ray_session, tmp_path):
                                  "doc_id", "text", bands=8, n_buckets=8)
 
 
+def test_flagship_near_dedup_resume_straddles_crash(tmp_path, ray_session):
+    """Opt-in near-dup over extracted text: a re-hosted copy (identical
+    payload, different url — extracted text differs only in the
+    url-bearing front matter, so EXACT content dedup by text would
+    miss it) is dropped by the MinHash stage; on a resume where the
+    pair straddles the crash point, the written-bucket union replays
+    the decision and the loser stays dropped."""
+    import glob
+
+    from pdf_parser_ray.pipelines.flagship import run_flagship
+    from pdf_parser_ray.sources.corpus import write_corpus
+    from pdf_parser_ray.stages.manifest import string_hash64, url_bucket
+
+    cdir, fpath = write_corpus(str(tmp_path / "c"), n_docs=16, seed=5,
+                               shards=2)
+    shard = sorted(glob.glob(os.path.join(cdir, "*.parquet")))[0]
+    t = pq.read_table(shard)
+    src_url = t["url"][0].as_py()
+    src_bucket = url_bucket(pa.array([src_url]), 8)[0].as_py()
+    src_id = string_hash64(pa.array([src_url])).view(np.int64)[0]
+
+    def hashes_after(u):
+        return string_hash64(pa.array([u])).view(np.int64)[0] > src_id
+
+    # a near-copy url that (a) LOSES the min-id rep race to the source
+    # and (b) lands in a different bucket — the straddle setup
+    mirror_url = next(
+        u for u in (f"https://zzz.example/mirror{i}.html"
+                    for i in range(200))
+        if url_bucket(pa.array([u]), 8)[0].as_py() != src_bucket
+        and hashes_after(u))
+    mirror = pa.table({
+        "url": pa.array([mirror_url]),
+        "warc_ts": t["warc_ts"].slice(0, 1),
+        "html": t["html"].slice(0, 1),
+        "text": t["text"].slice(0, 1),
+        "lang": t["lang"].slice(0, 1),
+    }).cast(t.schema)
+    pq.write_table(mirror, os.path.join(cdir, "part-99999.parquet"))
+
+    out_dir = str(tmp_path / "out")
+    run_flagship(cdir, fpath, out_dir=out_dir, n_buckets=8,
+                 concurrency=(1, 2), near_dedup=True)
+    fresh_urls = set(pq.read_table(out_dir)["url"].to_pylist())
+    assert src_url in fresh_urls and mirror_url not in fresh_urls
+
+    # the mirror's bucket held only the dropped row → never stamped →
+    # a rerun reprocesses the mirror input while its source sits in a
+    # COMPLETED bucket: the straddle. Without the written-text union
+    # the mirror would be resurrected.
+    summary = run_flagship(cdir, fpath, out_dir=out_dir, n_buckets=8,
+                           concurrency=(1, 2), near_dedup=True)
+    resumed_urls = set(pq.read_table(out_dir)["url"].to_pylist())
+    assert resumed_urls == fresh_urls
+    assert summary["rows"] == len(fresh_urls)
+
+    # harder: un-stamp the SOURCE's bucket too (both sides pending)
+    os.remove(os.path.join(out_dir, f"bucket={src_bucket}",
+                           "_manifest.json"))
+    run_flagship(cdir, fpath, out_dir=out_dir, n_buckets=8,
+                 concurrency=(1, 2), near_dedup=True)
+    assert set(pq.read_table(out_dir)["url"].to_pylist()) == fresh_urls
+
+
 def test_compact_index_waves(ray_session, tmp_path):
     """5 sequential ingest waves append 5 file sets per touched bucket;
     compact rewrites each bucket to ONE file and probes return exactly
