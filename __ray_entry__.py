@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- new in round 5
         "q81_remove_duplicate_spans": Q.q81_remove_duplicate_spans,
+        "q82_chained_ingest_waves": Q.q82_chained_ingest_waves,
         # -- dropped from the driver's r3 file (ran past its cutoff)
         "q24_embedding_dedup": Q.q24_embedding_dedup,
         "q30_knn_bruteforce": Q.q30_knn_bruteforce,
@@ -913,6 +914,34 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY n.node)
             SELECT CAST(node AS BIGINT) AS node, ROUND(rank, 6) AS rank
             FROM r2 ORDER BY node""",
+        # chained ingest waves: wave-2 decisions are constructed (%3 of
+        # the source id picks exact-copy / near-dup / novel); dup_exact
+        # match ids replicate q48's MIN-over-fingerprint; wave 3 (exact
+        # copies of the kept docs, probed AFTER the union append +
+        # compaction) must match its wave-2 source — this row set being
+        # green is what pins the append+compact interaction
+        "q82_chained_ingest_waves": f"""
+            WITH fp AS (
+              SELECT doc_id, {_FP} AS fingerprint FROM documents)
+            SELECT doc_id, 'corpus' AS decision,
+                   CAST(NULL AS DOUBLE) AS match_id
+            FROM documents
+            UNION ALL
+            SELECT f.doc_id + 10000000, 'dup_exact',
+                   CAST((SELECT MIN(t.doc_id) FROM fp t
+                         WHERE t.fingerprint = f.fingerprint) AS DOUBLE)
+            FROM fp f WHERE f.doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + 10000000, 'dup_near', NULL
+            FROM documents WHERE doc_id % 3 = 1
+            UNION ALL
+            SELECT doc_id + 10000000, 'kept', NULL
+            FROM documents WHERE doc_id % 3 = 2
+            UNION ALL
+            SELECT doc_id + 20000000, 'dup_exact_w3',
+                   CAST(doc_id + 10000000 AS DOUBLE)
+            FROM documents WHERE doc_id % 3 = 2
+            ORDER BY doc_id""",
         "q48_incremental_dedup": f"""
             WITH fp AS (
               SELECT doc_id, {_FP} AS fingerprint FROM documents)

@@ -984,6 +984,98 @@ def q67_incremental_minhash(sf_dir: str) -> pd.DataFrame:
         "matched_src": pd.Series(flag, dtype="int64")})
 
 
+def q82_chained_ingest_waves(sf_dir: str) -> pd.DataFrame:
+    """The incremental-ingest story end to end (q48 × q67 × compaction
+    interaction): wave 1 (documents) builds BOTH persisted indexes;
+    wave 2 (ids +10M: exact copies for doc_id%3==0, one-junk-token
+    near-dups for %3==1, every-2nd-token-replaced novel docs for %3==2)
+    probes exact first, the remainder probes the band index, survivors
+    are KEPT and union-append into the fingerprint index; the index is
+    then COMPACTED (one file per bucket) and wave 3 — exact copies of
+    the kept docs (ids +20M) — probes the appended+compacted index.
+    Output: one row per doc in every wave with its decision and, where
+    exactness defines it, the matched source id."""
+    import shutil
+    import tempfile
+
+    semi_join_broadcast = R.semi_join_broadcast
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    fp_dir = tempfile.mkdtemp(prefix="fpidx_q82_")
+    band_dir = tempfile.mkdtemp(prefix="bandidx_q82_")
+    try:
+        D.build_fingerprint_index(ds, "doc_id", "text", fp_dir)
+        D.build_minhash_band_index(ds, "doc_id", "text", band_dir)
+
+        def wave2(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            src = out["doc_id"].to_numpy()
+            out["doc_id"] = (src + DUP_OFFSET).astype("int64")
+            mode = src % 3
+            texts = out["text"].tolist()
+            for i in range(len(out)):
+                if mode[i] == 1:          # near-dup: one junk token
+                    texts[i] = texts[i] + " zzptbz"
+                elif mode[i] == 2:        # novel: kill every 3-shingle
+                    toks = texts[i].split()
+                    nid = int(out["doc_id"].iloc[i])
+                    toks[0::2] = [f"zq{nid}x{j}"
+                                  for j in range(len(toks[0::2]))]
+                    texts[i] = " ".join(toks)
+            out["text"] = texts
+            return out
+
+        new_ds = ds.map_batches(wave2, batch_format="pandas").materialize()
+        exact = D.dedup_against_index(new_ds, fp_dir, "doc_id", "text")
+        remainder = semi_join_broadcast(
+            new_ds, exact["doc_id"], on="doc_id", anti=True)
+        near = D.dedup_against_band_index(
+            remainder, band_dir, "doc_id", "text",
+            threshold=0.7).to_pandas()
+        near_ids = set(near["doc_id"].astype("int64"))
+        kept_ds = semi_join_broadcast(
+            remainder, sorted(near_ids), on="doc_id",
+            anti=True).materialize()
+        # union append: survivors join the corpus index (disjoint
+        # buckets — appends never rewrite), then compact to one file
+        # per bucket and probe wave 3 against the appended index
+        D.build_fingerprint_index(kept_ds, "doc_id", "text", fp_dir)
+        D.compact_index(fp_dir)
+
+        def wave3(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["doc_id"] = (out["doc_id"] + DUP_OFFSET).astype("int64")
+            return out
+
+        w3 = D.dedup_against_index(kept_ds.map_batches(
+            wave3, batch_format="pandas"), fp_dir, "doc_id", "text")
+    finally:
+        shutil.rmtree(fp_dir, ignore_errors=True)
+        shutil.rmtree(band_dir, ignore_errors=True)
+
+    base = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])["doc_id"].astype("int64")
+    exact_map = dict(zip(exact["doc_id"].astype("int64"),
+                         exact["match_id"].astype("int64")))
+    w3_map = dict(zip(w3["doc_id"].astype("int64"),
+                      w3["match_id"].astype("int64")))
+    rows = [(int(d), "corpus", None) for d in base]
+    for d in base:
+        nid = int(d) + DUP_OFFSET
+        if nid in exact_map:
+            rows.append((nid, "dup_exact", exact_map[nid]))
+        elif nid in near_ids:
+            rows.append((nid, "dup_near", None))
+        else:
+            rows.append((nid, "kept", None))
+    rows += [(int(d), "dup_exact_w3", int(m)) for d, m in w3_map.items()]
+    out = pd.DataFrame(rows, columns=["doc_id", "decision", "match_id"])
+    out["doc_id"] = out["doc_id"].astype("int64")
+    # float64 with NaN for the NULLs — the dtype DuckDB's fetchdf gives a
+    # nullable BIGINT, so both sides hash identically (the q80 pattern)
+    out["match_id"] = out["match_id"].astype("float64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q71_asof_join_shuffle(sf_dir: str) -> pd.DataFrame:
     """q16's as-of join with NEITHER side broadcast: orders pre-dedupe
     to (custkey, date, max orderkey) as a Dataset, both sides meet in
