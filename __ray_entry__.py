@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in round 5
         "q81_remove_duplicate_spans": Q.q81_remove_duplicate_spans,
         "q82_chained_ingest_waves": Q.q82_chained_ingest_waves,
+        "q83_y4m_frame_stats": Q.q83_y4m_frame_stats,
         # -- dropped from the driver's r3 file (ran past its cutoff)
         "q24_embedding_dedup": Q.q24_embedding_dedup,
         "q30_knn_bruteforce": Q.q30_knn_bruteforce,
@@ -694,6 +695,20 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a CROSS JOIN embeddings b
               WHERE a.vec_id < 8)
             WHERE rn <= 5 ORDER BY query_id, rn""",
+        # q83 pins the REAL Y4M decoder: the oracle re-derives the luma
+        # byte law arithmetically; the Ray side must recover the same
+        # numbers from actual decoded stream bytes (header parse + C420
+        # chroma stride), so any offset bug breaks the hash
+        "q83_y4m_frame_stats": """
+            SELECT doc_id AS media_id, CAST(f.f AS BIGINT) AS frame_idx,
+                   CAST(SUM((doc_id * 31 + f.f * 17 + p.p * 13) % 251)
+                        AS BIGINT) AS y_sum,
+                   ROUND(SUM((doc_id * 31 + f.f * 17 + p.p * 13) % 251)
+                         / 320.0, 6) AS y_mean
+            FROM documents,
+                 UNNEST(generate_series(0, 4, 2)) AS f(f),
+                 UNNEST(generate_series(0, 319)) AS p(p)
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "q40_frame_sample": """
             SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
                    md5(md5(text) || ':' || CAST(fi AS VARCHAR)) AS frame_hash

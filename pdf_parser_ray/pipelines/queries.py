@@ -984,6 +984,41 @@ def q67_incremental_minhash(sf_dir: str) -> pd.DataFrame:
         "matched_src": pd.Series(flag, dtype="int64")})
 
 
+def q83_y4m_frame_stats(sf_dir: str) -> pd.DataFrame:
+    """REAL video decode through the actor-pool stage: each doc becomes
+    a genuine YUV4MPEG2 payload (20x16 C420, 6 frames) whose luma bytes
+    follow the SQL-replicable law (doc_id*31 + frame*17 + pixel*13) %
+    251 (chroma = constant 128); SampleY4MFrames parses the stream
+    header, stride-skips the chroma planes, samples every 2nd frame and
+    reduces the DECODED luma to (y_sum, y_mean) — any parse-offset bug
+    shifts bytes and breaks the oracle, so the hash pins the decoder,
+    not the generator."""
+    from pdf_parser_ray.stages.multimodal import sample_y4m_dataset
+
+    W, H, F = 20, 16, 6
+    header = f"YUV4MPEG2 W{W} H{H} F30:1 Ip A1:1 C420\n".encode()
+    chroma = bytes([128]) * ((W // 2) * (H // 2) * 2)
+    px = np.arange(W * H, dtype=np.int64)
+
+    def to_video(df: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for d in df["doc_id"].astype("int64"):
+            parts = [header]
+            for f in range(F):
+                y = ((d * 31 + f * 17 + px * 13) % 251).astype(np.uint8)
+                parts.append(b"FRAME\n" + y.tobytes() + chroma)
+            payloads.append(b"".join(parts))
+        return pd.DataFrame({"media_id": df["doc_id"].astype("int64"),
+                             "payload": payloads})
+
+    ds = (_read(sf_dir, "documents").select_columns(["doc_id"])
+          .map_batches(to_video, batch_format="pandas", batch_size=64))
+    out = sample_y4m_dataset(ds, stride=2, mode="strict").to_pandas()
+    out["media_id"] = out["media_id"].astype("int64")
+    return (out.sort_values(["media_id", "frame_idx"])
+            .reset_index(drop=True))
+
+
 def q82_chained_ingest_waves(sf_dir: str) -> pd.DataFrame:
     """The incremental-ingest story end to end (q48 × q67 × compaction
     interaction): wave 1 (documents) builds BOTH persisted indexes;

@@ -1545,6 +1545,46 @@ def test_compact_index_waves(ray_session, tmp_path):
     assert s3["compacted"] == 0 and s3["files_after"] == s3["files_before"]
 
 
+def test_decode_y4m_real(ray_session):
+    """Y4M decodes for REAL: exact luma planes back out, chroma planes
+    stride-skipped, truncation and non-Y4M payloads raise in strict
+    mode, fake mode falls back without throwing."""
+    import ray.data
+    from pdf_parser_ray.stages.multimodal import (SampleY4MFrames,
+                                                  decode_y4m,
+                                                  sample_y4m_dataset)
+    w, h = 4, 2
+    f0 = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    f1 = (f0 + 100).astype(np.uint8)
+    chroma = bytes([128]) * ((w // 2) * (h // 2) * 2)
+    payload = (f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+               + b"FRAME\n" + f0.tobytes() + chroma
+               + b"FRAME\n" + f1.tobytes() + chroma)
+    v = decode_y4m(payload)
+    assert (v["width"], v["height"], v["fps"]) == (4, 2, (25, 1))
+    assert np.array_equal(v["y_frames"][0], f0)
+    assert np.array_equal(v["y_frames"][1], f1)
+    # mono: no chroma between frames
+    mono = (f"YUV4MPEG2 W{w} H{h} F25:1 Cmono\n".encode()
+            + b"FRAME\n" + f0.tobytes() + b"FRAME\n" + f1.tobytes())
+    vm = decode_y4m(mono)
+    assert np.array_equal(vm["y_frames"][1], f1)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(payload[:-10])   # cut into the second luma plane
+    # actor-pool stage, strict: real stats; stride samples frame 0 only
+    ds = ray.data.from_items([{"media_id": 7, "payload": payload}])
+    out = sample_y4m_dataset(ds, stride=2, mode="strict").to_pandas()
+    assert out.frame_idx.tolist() == [0]
+    assert out.y_sum.tolist() == [int(f0.sum())]
+    assert out.y_mean.tolist() == [round(float(f0.sum()) / (w * h), 6)]
+    # non-Y4M: strict raises (worker error wraps the type), fake falls back
+    bad = ray.data.from_items([{"media_id": 8, "payload": b"mp4junk"}])
+    with pytest.raises(Exception, match="pyav"):
+        sample_y4m_dataset(bad, mode="strict").to_pandas()
+    fb = sample_y4m_dataset(bad, mode="fake").to_pandas()
+    assert len(fb) == 2 and fb.y_mean.isna().all()
+
+
 def test_decode_ppm_real(ray_session):
     """PPM payloads decode for REAL through the actor-pool stage: true
     dimensions, resize, and content-derived features (strict mode)."""
