@@ -1043,14 +1043,24 @@ def minhash_band_dataset(ds, text_col: str, id_col: str, *,
 def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
                       bands: int = 16, k: int = 3, threshold: float = 0.8,
                       concurrency=None, n_parts: int = 64,
-                      ids=None, max_bucket: int | None = 256) -> pd.DataFrame:
+                      ids=None, max_bucket: int | None = None) -> pd.DataFrame:
     """Full MinHash→LSH→verify→cluster pipeline, banded-shuffle shape.
 
     One pass over text (fused sig+banding) → ``groupby(band_part)`` shuffle
     of the band rows → in-partition vectorized pair emission + signature
     verification → distributed label propagation over the verified pair
     Dataset (:func:`cluster_pairs_dataset`; nothing O(corpus) touches the
-    driver). Returns an ``(id, rep)`` Dataset covering every input id."""
+    driver). Returns an ``(id, rep)`` Dataset covering every input id.
+
+    ``max_bucket`` (advisor r4): the hot-bucket pair cap is OPT-IN on
+    the one-shot APIs — ``None`` (default) emits every in-bucket pair,
+    so a heterogeneous hot bucket (two unrelated clusters colliding on
+    one band key) loses no spoke-spoke recall. Set it (e.g. 256) for
+    template-heavy crawls where one boilerplate band key collects 10⁴+
+    docs and O(b²) pair emission would dominate — the clique+star shape
+    and its recall cost are documented at :func:`bucket_pairs`. The
+    standing-scale paths (flagship ``near_dedup_records``, the
+    incremental band-index probe) keep an explicit 256 default."""
     band_ds = minhash_band_dataset(
         ds, text_col, id_col, num_perm=num_perm, bands=bands, k=k,
         n_parts=n_parts, concurrency=concurrency)
@@ -1063,7 +1073,7 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
 
 def minhash_candidate_pairs(ds, text_col: str, id_col: str, *,
                             num_perm: int = 64, bands: int = 16, k: int = 3,
-                            n_parts: int = 64, max_bucket: int | None = 256,
+                            n_parts: int = 64, max_bucket: int | None = None,
                             as_dataset: bool = False,
                             concurrency=(1, 4)):
     """Candidate (a, b) pairs from LSH banding alone (threshold-free) —
@@ -1097,7 +1107,7 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str, *,
 
 def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
                   n_bands: int = 4, n_parts: int = 64,
-                  ids=None, max_bucket: int | None = 256) -> pd.DataFrame:
+                  ids=None, max_bucket: int | None = None) -> pd.DataFrame:
     """SimHash banding, banded-shuffle shape: 64-bit sig split into
     ``n_bands`` chunks; rows sharing a chunk meet in a ``band_part``
     partition; full-hamming verification (≤ max_hamming) runs vectorized
@@ -1155,7 +1165,7 @@ def simhash_dedup(ds, text_col: str, id_col: str, *, max_hamming: int = 3,
 def ngram_jaccard_dedup(ds, text_col: str, id_col: str, *, k: int = 3,
                         threshold: float = 0.8, num_perm: int = 64,
                         bands: int = 16, n_parts: int = 64,
-                        ids=None, max_bucket: int | None = 256) -> pd.DataFrame:
+                        ids=None, max_bucket: int | None = None) -> pd.DataFrame:
     """Exact n-gram-Jaccard verification over MinHash-LSH candidates.
 
     One banding pass generates candidates; exact verification runs through
@@ -1255,7 +1265,7 @@ def _srp_band_fn(df: pd.DataFrame, **kw) -> pd.DataFrame:
 def embedding_dedup(ds, vec_col: str, id_col: str, *, threshold: float = 0.95,
                     n_planes: int = 64, bands: int = 8,
                     n_parts: int = 64, concurrency=None,
-                    ids=None, max_bucket: int | None = 256) -> pd.DataFrame:
+                    ids=None, max_bucket: int | None = None) -> pd.DataFrame:
     """Near-dup by cosine ≥ threshold via SRP-LSH banding + distributed
     exact-cosine verification (r2: replaces the r1 O(N²) broadcast matmul;
     no full-matrix ``ray.put`` anywhere).
@@ -1589,6 +1599,18 @@ def dedup_against_band_index(new_ds, index_dir: str, id_col: str,
     signature verification is the same vectorized slot-agreement test
     as :func:`minhash_lsh_dedup`. Nothing O(corpus) or O(candidates)
     lands on the driver.
+
+    Recall asymmetry of the cap (advisor r4): unlike
+    :func:`bucket_pairs`' clique+star shape (where every member keeps a
+    hub edge), capping the INDEX side of a hot band key to its
+    ``max_bucket`` smallest ids has no hub fallback — a new doc whose
+    only true source ranks outside those smallest index ids in EVERY
+    band it shares is silently unmatched (warning-logged row counts
+    only). With 16 bands this needs the source to lose all 16 races,
+    so in practice hot-key misses concentrate on boilerplate clusters
+    where *some* small-id template member still matches; pass
+    ``max_bucket=None`` to trade O(new×bucket) candidate volume for
+    exact banding recall.
     """
     import json
     import os

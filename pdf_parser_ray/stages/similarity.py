@@ -290,7 +290,11 @@ def kmeans(ds, *, vec_col: str, id_col: str, k: int = 8, iters: int = 2,
     near-EQUIDISTANT between two centroids and break exact oracle
     parity. Not observed on the synthetic embeddings (no near-ties at
     float64 precision); if q38 ever flakes, compare assignments at a
-    distance tolerance rather than exactly.
+    distance tolerance rather than exactly. EXACT ties are pinned, not
+    caveated: distances bit-equal across two centroids resolve to the
+    smaller cluster id on both sides (argmin first-minimum ==
+    SQL ``ORDER BY d, cid`` — test_kmeans_equidistant_tie), under any
+    block partitioning.
 
     ``iters`` counts ASSIGNMENT passes: the returned labels are the
     assignment of pass ``iters`` against centroids refit ``iters - 1``

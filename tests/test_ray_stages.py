@@ -1545,6 +1545,27 @@ def test_compact_index_waves(ray_session, tmp_path):
     assert s3["compacted"] == 0 and s3["files_after"] == s3["files_before"]
 
 
+def test_kmeans_equidistant_tie(ray_session):
+    """A point EXACTLY equidistant between two centroids must land in
+    the smaller cluster id (argmin first-minimum == SQL ORDER BY d,
+    cid), identically under any block partitioning — pins the
+    documented tie-break so a q38-style oracle can't flake on ties."""
+    import ray.data
+    from pdf_parser_ray.stages.similarity import kmeans
+    rows = [
+        {"vec_id": 0, "embedding": [0.0, 0.0]},   # init centroid cid 0
+        {"vec_id": 1, "embedding": [2.0, 0.0]},   # init centroid cid 1
+        {"vec_id": 2, "embedding": [1.0, 0.0]},   # d=1.0 to BOTH
+        {"vec_id": 3, "embedding": [1.0, 0.0]},
+    ]
+    for parts in (1, 4):
+        ds = ray.data.from_items(rows).repartition(parts)
+        out = (kmeans(ds, vec_col="embedding", id_col="vec_id",
+                      k=2, iters=1).to_pandas()
+               .sort_values("vec_id").reset_index(drop=True))
+        assert out.cluster.tolist() == [0, 1, 0, 0]
+
+
 def test_decode_y4m_real(ray_session):
     """Y4M decodes for REAL: exact luma planes back out, chroma planes
     stride-skipped, truncation and non-Y4M payloads raise in strict
