@@ -57,6 +57,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q81_remove_duplicate_spans": Q.q81_remove_duplicate_spans,
         "q82_chained_ingest_waves": Q.q82_chained_ingest_waves,
         "q83_y4m_frame_stats": Q.q83_y4m_frame_stats,
+        "q84_order_ntile": Q.q84_order_ntile,
+        "q85_modal_event_type": Q.q85_modal_event_type,
+        "q86_grouped_hll": Q.q86_grouped_hll,
         # -- dropped from the driver's r3 file (ran past its cutoff)
         "q24_embedding_dedup": Q.q24_embedding_dedup,
         "q30_knn_bruteforce": Q.q30_knn_bruteforce,
@@ -425,6 +428,38 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(n * sxx - sx * sx)
                             * sqrt(n * syy - sy * sy)), 6) AS corr
             FROM s ORDER BY event_type""",
+        "q84_order_ntile": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(NTILE(4) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+                       AS tile
+            FROM orders ORDER BY o_orderkey""",
+        "q85_modal_event_type": """
+            SELECT user_id, event_type AS modal_type FROM (
+              SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY COUNT(*) DESC,
+                                                 event_type) AS rn
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY user_id, event_type)
+            WHERE rn = 1 ORDER BY user_id""",
+        # grouped q77: same register bit law per event_type segment
+        "q86_grouped_hll": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                         1, 16) AS UBIGINT) AS raw
+              FROM events WHERE user_id IS NOT NULL),
+            b AS (SELECT event_type, raw >> 52 AS idx,
+                         raw & ((1::UBIGINT << 52) - 1) AS bits FROM h),
+            r AS (SELECT event_type, idx,
+                         CASE WHEN bits = 0 THEN 53
+                              ELSE 52 - length(bin(bits)) + 1
+                         END AS rank
+                  FROM b)
+            SELECT event_type, CAST(idx AS BIGINT) AS idx,
+                   CAST(MAX(rank) AS BIGINT) AS register
+            FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
         # HLL register law: idx = top p bits of the 64-bit md5 prefix;
         # rank = leading zeros of the remaining 52 bits + 1 (53 when all
         # zero); register = MAX(rank). bin() gives the exact bit length.

@@ -984,6 +984,43 @@ def q67_incremental_minhash(sf_dir: str) -> pd.DataFrame:
         "matched_src": pd.Series(flag, dtype="int64")})
 
 
+def q84_order_ntile(sf_dir: str) -> pd.DataFrame:
+    """NTILE(4) quantile buckets per customer over order history
+    (ordered by date, key tie-break) — the equal-fill window rule SQL
+    defines (first n%t buckets one row larger)."""
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"])
+    out = (R.grouped_ntile(ds, "o_custkey",
+                           ["o_orderdate", "o_orderkey"], tiles=4)
+           .to_pandas())
+    out = out[["o_orderkey", "o_custkey", "tile"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q85_modal_event_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped MODE: each user's most frequent event type (ties to the
+    lexicographically smallest type) — combiner-shaped counts, one
+    coarsened exchange, in-partition argmax."""
+    ds = _read(sf_dir, "events").select_columns(["user_id", "event_type"])
+    out = (R.grouped_mode(ds, "user_id", "event_type",
+                          out_col="modal_type").to_pandas())
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q86_grouped_hll(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type HLL registers over user_id (p=12) — the grouped
+    mergeable-sketch shape ("distinct users per segment"); register
+    content is deterministic, so the oracle pins the registers exactly,
+    not the estimate (the q77 discipline, grouped)."""
+    from ..stages.sketch import grouped_hll_registers
+    ds = _read(sf_dir, "events").select_columns(["event_type", "user_id"])
+    out = grouped_hll_registers(ds, "event_type", "user_id", p=12)
+    return out.reset_index(drop=True)
+
+
 def q83_y4m_frame_stats(sf_dir: str) -> pd.DataFrame:
     """REAL video decode through the actor-pool stage: each doc becomes
     a genuine YUV4MPEG2 payload (20x16 C420, 6 frames) whose luma bytes

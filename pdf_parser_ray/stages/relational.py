@@ -959,6 +959,68 @@ def cube_aggregate(ds, keys: list[str], aggs: dict, *,
                                    mode=mode, n_parts=n_parts)
 
 
+def grouped_ntile(ds, key: str, order_by: list[str], *, tiles: int = 4,
+                  out_col: str = "tile", n_parts: int = 64):
+    """NTILE(t) OVER (PARTITION BY key ORDER BY order_by) — equal-ish
+    quantile bucket assignment per key (1-based; the first ``n % t``
+    buckets take one extra row, SQL's exact fill rule; keys with fewer
+    rows than tiles give each row its own bucket). Deterministic via
+    full order_by tie-breaks. Same coarsened-shuffle shape as
+    :func:`grouped_rank`; the in-partition computation is one
+    vectorized sort + grouped cumcount + closed-form bucket formula."""
+    import numpy as np
+
+    def assign(group: pa.Table) -> pa.Table:
+        df = (group.to_pandas()
+              .sort_values([key, *order_by], kind="mergesort"))
+        g = df.groupby(key, sort=False)
+        r = g.cumcount().to_numpy(np.int64)
+        n = g[key].transform("size").to_numpy(np.int64)
+        base = n // tiles
+        rem = n % tiles
+        cut = rem * (base + 1)
+        tile = np.where(r < cut, r // (base + 1),
+                        rem + (r - cut) // np.maximum(base, 1))
+        df[out_col] = (tile + 1).astype("int64")
+        return pa.Table.from_pandas(df.drop(columns=["_kpart"]),
+                                    preserve_index=False)
+
+    return (add_coarse_part(ds, key, n_parts)
+            .groupby("_kpart").map_groups(assign, batch_format="pyarrow"))
+
+
+def grouped_mode(ds, key: str, value_col: str, *, out_col: str = "modal",
+                 n_parts: int = 64, batch_size: int = 8192):
+    """Most frequent value per key (grouped MODE), ties to the smallest
+    value — deterministic under any partitioning. Combiner-shaped: each
+    batch reduces to (key, value, count) partials (a batch contributes
+    each pair once), ONE coarsened ``groupby(key-hash)`` exchange folds
+    the counts and picks the argmax in-partition. Returns a Dataset of
+    (key, out_col) — one row per key, never the raw pairs on the
+    driver."""
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([key, value_col], sort=False).size()
+                .rename("c").reset_index())
+
+    parts = ds.select_columns([key, value_col]).map_batches(
+        part, batch_format="pandas", batch_size=batch_size)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby([key, value_col], sort=False)["c"].sum()
+             .reset_index()
+             .sort_values([key, "c", value_col],
+                          ascending=[True, False, True],
+                          kind="mergesort"))
+        top = g.drop_duplicates(key, keep="first")
+        return (top[[key, value_col]]
+                .rename(columns={value_col: out_col}))
+
+    return (add_coarse_part(parts, key, n_parts)
+            .groupby("_kpart")
+            .map_groups(lambda g: fold(g.drop(columns=["_kpart"])),
+                        batch_format="pandas"))
+
+
 def grouped_lag_delta(ds, *, key: str, ts: str, id_col: str,
                       out_col: str = "delta_sec", n_parts: int = 64):
     """LAG window: per row, seconds since the key's PREVIOUS event

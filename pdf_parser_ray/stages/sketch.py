@@ -49,6 +49,25 @@ def kmv_estimate(hashes: list[str], k: int = KMV_K) -> float:
     return (k - 1) / max(kth, 1e-18)
 
 
+def _hll_idx_rank(vals: pd.Series, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per value: top ``p`` bits of the 64-bit md5
+    prefix pick the register; rank = leading zeros of the remaining bits
+    + 1 (capped at 64-p+1). Vectorized branchless-CLZ ladder; shared by
+    the global and grouped HLL sketches so both pin the same bit law."""
+    raw = np.array([int(h[:16], 16) for h in _md5_hex(vals)],
+                   dtype=np.uint64)
+    idx = (raw >> np.uint64(64 - p)).astype(np.int64)
+    rest = (raw << np.uint64(p)) | np.uint64((1 << p) - 1)
+    lz = np.zeros(len(raw), dtype=np.uint8)
+    work = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):  # branchless CLZ ladder
+        mask = work < (np.uint64(1) << np.uint64(64 - shift))
+        lz[mask] += shift
+        work[mask] <<= np.uint64(shift)
+    rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+    return idx, rank
+
+
 def hll_sketch(ds, col: str, *, p: int = 12) -> np.ndarray:
     """HyperLogLog register array (2^p uint8 registers). Register update is
     vectorized numpy over each batch's md5 stream; partials merge by
@@ -59,18 +78,7 @@ def hll_sketch(ds, col: str, *, p: int = 12) -> np.ndarray:
         regs = np.zeros(m, dtype=np.uint8)
         vals = df[col].dropna()
         if len(vals):
-            raw = np.array([int(h[:16], 16) for h in _md5_hex(vals)],
-                           dtype=np.uint64)
-            idx = (raw >> np.uint64(64 - p)).astype(np.int64)
-            rest = (raw << np.uint64(p)) | np.uint64((1 << p) - 1)
-            # leading-zero count of the remaining 64-p bits, via bit-length
-            lz = np.zeros(len(raw), dtype=np.uint8)
-            work = rest.copy()
-            for shift in (32, 16, 8, 4, 2, 1):  # branchless CLZ ladder
-                mask = work < (np.uint64(1) << np.uint64(64 - shift))
-                lz[mask] += shift
-                work[mask] <<= np.uint64(shift)
-            rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+            idx, rank = _hll_idx_rank(vals, p)
             np.maximum.at(regs, idx, rank)
         return pd.DataFrame({"reg": [regs.tobytes()]})
 
@@ -80,6 +88,51 @@ def hll_sketch(ds, col: str, *, p: int = 12) -> np.ndarray:
     for blob in parts["reg"]:
         merged = np.maximum(merged, np.frombuffer(blob, dtype=np.uint8))
     return merged
+
+
+def grouped_hll_registers(ds, key: str, col: str, *, p: int = 12,
+                          n_parts: int = 32,
+                          batch_size: int = 8192) -> pd.DataFrame:
+    """Per-KEY HyperLogLog registers — the mergeable grouped-sketch shape
+    for "distinct users per segment" at web scale: each batch reduces to
+    SPARSE (key, idx, rank) max-partials (bounded by the batch's distinct
+    (key, register) pairs, never the rows), one coarsened
+    ``groupby(key-hash)`` exchange max-folds them, and the collected
+    result is O(keys × 2^p) — driver-small for report-style key spaces
+    (estimate per key via :func:`hll_estimate` on the dense array).
+    Register CONTENT is deterministic (same md5 bit law as
+    :func:`hll_sketch` via ``_hll_idx_rank``), so a SQL oracle can pin
+    the registers exactly, not just the estimate. Returns pandas
+    (key, idx, register), sorted."""
+    from .relational import add_coarse_part
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=[col, key])
+        if not len(d):
+            return pd.DataFrame({key: pd.Series(dtype="object"),
+                                 "idx": pd.Series(dtype="int64"),
+                                 "rank": pd.Series(dtype="int64")})
+        idx, rank = _hll_idx_rank(d[col], p)
+        g = pd.DataFrame({key: d[key].to_numpy(), "idx": idx,
+                          "rank": rank.astype("int64")})
+        return (g.groupby([key, "idx"], sort=False)["rank"].max()
+                .reset_index())
+
+    parts = ds.select_columns([key, col]).map_batches(
+        partial, batch_format="pandas", batch_size=batch_size)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.groupby([key, "idx"], sort=False)["rank"].max()
+                .rename("register").reset_index())
+
+    out = (add_coarse_part(parts, key, n_parts)
+           .groupby("_kpart")
+           .map_groups(lambda g: fold(g.drop(columns=["_kpart"])),
+                       batch_format="pandas")
+           .to_pandas())
+    out["idx"] = out["idx"].astype("int64")
+    out["register"] = out["register"].astype("int64")
+    return out.sort_values([key, "idx"]).reset_index(drop=True)
 
 
 def grouped_histogram(ds, key: str, value_col: str, *,

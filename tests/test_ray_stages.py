@@ -1545,6 +1545,37 @@ def test_compact_index_waves(ray_session, tmp_path):
     assert s3["compacted"] == 0 and s3["files_after"] == s3["files_before"]
 
 
+def test_grouped_ntile_fill_rule(ray_session):
+    """SQL's NTILE fill: first n%t buckets one row larger; n<t gives
+    each row its own bucket."""
+    import ray.data
+    from pdf_parser_ray.stages.relational import grouped_ntile
+    rows = ([{"k": "a", "o": i} for i in range(10)]   # 10 rows, 4 tiles
+            + [{"k": "b", "o": i} for i in range(2)])  # fewer than tiles
+    out = (grouped_ntile(ray.data.from_items(rows).repartition(3),
+                         "k", ["o"], tiles=4, n_parts=2)
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    # 10/4 -> sizes 3,3,2,2
+    assert out[out.k == "a"].tile.tolist() == [1, 1, 1, 2, 2, 2,
+                                               3, 3, 4, 4]
+    assert out[out.k == "b"].tile.tolist() == [1, 2]
+
+
+def test_grouped_mode_tie_break(ray_session):
+    """Grouped MODE: max count wins, ties to the smallest value,
+    stable across partitionings."""
+    import ray.data
+    from pdf_parser_ray.stages.relational import grouped_mode
+    rows = ([{"u": 1, "v": "z"}] * 3 + [{"u": 1, "v": "a"}] * 2
+            + [{"u": 2, "v": "m"}] * 2 + [{"u": 2, "v": "b"}] * 2
+            + [{"u": 3, "v": "q"}])
+    for parts in (1, 4):
+        out = (grouped_mode(ray.data.from_items(rows).repartition(parts),
+                            "u", "v", n_parts=2)
+               .to_pandas().sort_values("u").reset_index(drop=True))
+        assert out.modal.tolist() == ["z", "b", "q"]
+
+
 def test_kmeans_equidistant_tie(ray_session):
     """A point EXACTLY equidistant between two centroids must land in
     the smaller cluster id (argmin first-minimum == SQL ORDER BY d,
