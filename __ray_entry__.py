@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q84_order_ntile": Q.q84_order_ntile,
         "q85_modal_event_type": Q.q85_modal_event_type,
         "q86_grouped_hll": Q.q86_grouped_hll,
+        "q87_rollup_distributed": Q.q87_rollup_distributed,
         # -- dropped from the driver's r3 file (ran past its cutoff)
         "q24_embedding_dedup": Q.q24_embedding_dedup,
         "q30_knn_bruteforce": Q.q30_knn_bruteforce,
@@ -492,6 +493,16 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id))
                      AS DOUBLE), 6) AS delta_sec
             FROM events ORDER BY event_id""",
+        # identical SQL to q76 by design: the driver thereby pins the
+        # driver-fold and distributed grouping-sets modes hash-equal
+        "q87_rollup_distributed": """
+            SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+            ORDER BY 1, 2""",
         "q76_rollup_revenue": """
             SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
                    COALESCE(o_orderpriority, 'ALL') AS priority,

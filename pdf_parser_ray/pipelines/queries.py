@@ -1318,6 +1318,32 @@ def q76_rollup_revenue(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q87_rollup_distributed(sf_dir: str) -> pd.DataFrame:
+    """q76's ROLLUP through the DISTRIBUTED grouping-sets finish (same
+    oracle as q76 by design — the q47/q66 mode-pinning pattern): the
+    fine level stays a Dataset, every coarser level is one coarsened
+    exchange, and nothing O(distinct combos) lands on the driver; the
+    shared oracle pins the two modes hash-equal in the driver's
+    correctness record, not just in pytest."""
+    customer = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderpriority", "o_totalprice"])
+    joined = R.broadcast_join(orders, customer.rename(
+        columns={"c_custkey": "o_custkey"}), on="o_custkey")
+    out = R.rollup_aggregate(
+        joined, ["c_mktsegment", "o_orderpriority"],
+        {"revenue": ("o_totalprice", "sum"),
+         "n_orders": ("o_totalprice", "count")},
+        mode="distributed").to_pandas()
+    out = out.rename(columns={"c_mktsegment": "segment",
+                              "o_orderpriority": "priority"})
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (out.sort_values(["segment", "priority"])
+            .reset_index(drop=True))
+
+
 def q77_hll_registers(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog sketch CONTENT as the oracle target (the q18/q36
     discipline: the estimate is approximate, the registers are
