@@ -283,9 +283,8 @@ def near_dedup_records(extracted, *, extra_text_ds=None,
     import pandas as pd
     import ray
 
-    from ..stages.dedup import (_minhash_verify_partition,
-                                cluster_pairs_dataset,
-                                minhash_band_dataset)
+    from ..stages.dedup import (cluster_pairs_dataset,
+                                minhash_verified_pairs)
     from ..stages.manifest import string_hash64
 
     def to_rows(batch: pa.Table) -> pa.Table:
@@ -304,13 +303,10 @@ def near_dedup_records(extracted, *, extra_text_ds=None,
         proj = proj.union(extra_text_ds.map_batches(
             to_rows, batch_format="pyarrow"))
 
-    band_ds = minhash_band_dataset(proj, "extracted_text", "_nd_id",
-                                   num_perm=num_perm, bands=bands, k=k,
-                                   n_parts=n_parts)
-    pair_ds = band_ds.groupby("band_part").map_groups(
-        _minhash_verify_partition("_nd_id", num_perm, threshold,
-                                  max_bucket),
-        batch_format="pandas").materialize()
+    pair_ds = minhash_verified_pairs(
+        proj, "extracted_text", "_nd_id", num_perm=num_perm, bands=bands,
+        k=k, threshold=threshold, n_parts=n_parts,
+        max_bucket=max_bucket).materialize()
 
     def touched(df: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(np.concatenate([df["a"].to_numpy(np.int64),
@@ -401,15 +397,9 @@ def run_flagship(corpus_path, facts_path: str | None = None,
         # crashed run decided over the full input pre-write).
         extra_fp = None
         if out_dir:
-            import os as _osfp
-
             import pyarrow.parquet as _pq
-            done = MAN.completed_buckets(out_dir, fingerprint, n_buckets)
-            done_files = []
-            for b in sorted(done):
-                bdir = f"{out_dir}/bucket={b}"
-                done_files += [f"{bdir}/{f}" for f in _osfp.listdir(bdir)
-                               if f.endswith(".parquet")]
+            done_files = MAN.completed_parquet_files(out_dir, fingerprint,
+                                                     n_buckets)
             # per-FILE schema check: a mixed old/new output dir (some
             # buckets written before payload_fp existed) must degrade to
             # replaying only the new-format buckets, not crash the
@@ -468,15 +458,9 @@ def run_flagship(corpus_path, facts_path: str | None = None,
         # near_dedup_records).
         extra_text = None
         if out_dir:
-            import os as _osnd
-
             import ray.data as _rdnd
-            done = MAN.completed_buckets(out_dir, fingerprint, n_buckets)
-            done_files = []
-            for b in sorted(done):
-                bdir = f"{out_dir}/bucket={b}"
-                done_files += [f"{bdir}/{f}" for f in _osnd.listdir(bdir)
-                               if f.endswith(".parquet")]
+            done_files = MAN.completed_parquet_files(out_dir, fingerprint,
+                                                     n_buckets)
             if done_files:
                 extra_text = _rdnd.read_parquet(
                     done_files,
@@ -492,15 +476,9 @@ def run_flagship(corpus_path, facts_path: str | None = None,
         # reconstructs that state.
         agg_input = extracted
         if out_dir:
-            import os as _os3
-
             import ray.data as _rd
-            done = MAN.completed_buckets(out_dir, fingerprint, n_buckets)
-            done_files = []
-            for b in sorted(done):
-                bdir = f"{out_dir}/bucket={b}"
-                done_files += [f"{bdir}/{f}" for f in _os3.listdir(bdir)
-                               if f.endswith(".parquet")]
+            done_files = MAN.completed_parquet_files(out_dir, fingerprint,
+                                                     n_buckets)
             if done_files:
                 written = _rd.read_parquet(done_files, columns=[
                     "url", "family_key", "period_end", "doc_kind",

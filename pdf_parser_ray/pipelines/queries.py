@@ -1080,6 +1080,17 @@ def q82_chained_ingest_waves(sf_dir: str) -> pd.DataFrame:
 
         def wave2(df: pd.DataFrame) -> pd.DataFrame:
             out = df.copy()
+            # constructed-oracle precondition (review finding): an
+            # EMPTY %3==2 doc would survive its 'novel' transform
+            # unchanged (dup_exact, oracle says kept) and a <3-token
+            # %3==1 doc has no 3-shingles for the band probe
+            # (kept, oracle says dup_near). Fail loudly if a datagen
+            # change ever violates it instead of red-hashing cryptically.
+            ntok = out["text"].fillna("").str.split().str.len()
+            if (ntok < 3).any():
+                raise ValueError(
+                    "q82 precondition violated: documents with < 3 "
+                    "tokens break the constructed decision oracle")
             src = out["doc_id"].to_numpy()
             out["doc_id"] = (src + DUP_OFFSET).astype("int64")
             mode = src % 3
@@ -1296,10 +1307,10 @@ def q75_inactive_customers(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("o_custkey").reset_index(drop=True)
 
 
-def q76_rollup_revenue(sf_dir: str) -> pd.DataFrame:
-    """GROUP BY ROLLUP(segment, priority): one streaming pre-aggregate
-    pass at the finest level; coarser levels fold from its partials —
-    the input never re-streams per level."""
+def _rollup_revenue(sf_dir: str, mode: str) -> pd.DataFrame:
+    """Shared q76/q87 computation — ONE pipeline body so the two
+    mode-pinning queries cannot silently diverge (the q47/q66 pattern;
+    review finding)."""
     customer = pd.read_parquet(f"{sf_dir}/customer.parquet",
                                columns=["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders").select_columns(
@@ -1309,13 +1320,22 @@ def q76_rollup_revenue(sf_dir: str) -> pd.DataFrame:
     out = R.rollup_aggregate(
         joined, ["c_mktsegment", "o_orderpriority"],
         {"revenue": ("o_totalprice", "sum"),
-         "n_orders": ("o_totalprice", "count")})
+         "n_orders": ("o_totalprice", "count")}, mode=mode)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
     out = out.rename(columns={"c_mktsegment": "segment",
                               "o_orderpriority": "priority"})
     out["revenue"] = out["revenue"].round(2)
     out["n_orders"] = out["n_orders"].astype("int64")
     return (out.sort_values(["segment", "priority"])
             .reset_index(drop=True))
+
+
+def q76_rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(segment, priority): one streaming pre-aggregate
+    pass at the finest level; coarser levels fold from its partials —
+    the input never re-streams per level."""
+    return _rollup_revenue(sf_dir, "driver")
 
 
 def q87_rollup_distributed(sf_dir: str) -> pd.DataFrame:
@@ -1325,23 +1345,7 @@ def q87_rollup_distributed(sf_dir: str) -> pd.DataFrame:
     exchange, and nothing O(distinct combos) lands on the driver; the
     shared oracle pins the two modes hash-equal in the driver's
     correctness record, not just in pytest."""
-    customer = pd.read_parquet(f"{sf_dir}/customer.parquet",
-                               columns=["c_custkey", "c_mktsegment"])
-    orders = _read(sf_dir, "orders").select_columns(
-        ["o_custkey", "o_orderpriority", "o_totalprice"])
-    joined = R.broadcast_join(orders, customer.rename(
-        columns={"c_custkey": "o_custkey"}), on="o_custkey")
-    out = R.rollup_aggregate(
-        joined, ["c_mktsegment", "o_orderpriority"],
-        {"revenue": ("o_totalprice", "sum"),
-         "n_orders": ("o_totalprice", "count")},
-        mode="distributed").to_pandas()
-    out = out.rename(columns={"c_mktsegment": "segment",
-                              "o_orderpriority": "priority"})
-    out["revenue"] = out["revenue"].round(2)
-    out["n_orders"] = out["n_orders"].astype("int64")
-    return (out.sort_values(["segment", "priority"])
-            .reset_index(drop=True))
+    return _rollup_revenue(sf_dir, "distributed")
 
 
 def q77_hll_registers(sf_dir: str) -> pd.DataFrame:

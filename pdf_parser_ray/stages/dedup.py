@@ -1061,14 +1061,32 @@ def minhash_lsh_dedup(ds, text_col: str, id_col: str, *, num_perm: int = 64,
     and its recall cost are documented at :func:`bucket_pairs`. The
     standing-scale paths (flagship ``near_dedup_records``, the
     incremental band-index probe) keep an explicit 256 default."""
+    pair_ds = minhash_verified_pairs(
+        ds, text_col, id_col, num_perm=num_perm, bands=bands, k=k,
+        threshold=threshold, n_parts=n_parts, max_bucket=max_bucket,
+        concurrency=concurrency)
+    return cluster_pairs_dataset(pair_ds, _ids_dataset(ds, id_col, ids),
+                                 id_col, n_parts=n_parts)
+
+
+def minhash_verified_pairs(ds, text_col: str, id_col: str, *,
+                           num_perm: int = 64, bands: int = 16,
+                           k: int = 3, threshold: float = 0.8,
+                           n_parts: int = 64,
+                           max_bucket: int | None = None,
+                           concurrency=None):
+    """The shared band→verify chain (fused sig+banding →
+    ``groupby(band_part)`` → in-partition pair emission + signature
+    agreement ≥ threshold) returning the verified (a, b) pair Dataset —
+    one implementation for :func:`minhash_lsh_dedup` and the flagship's
+    ``near_dedup_records`` (review finding: the chain was duplicated,
+    so verify-path fixes had to land twice)."""
     band_ds = minhash_band_dataset(
         ds, text_col, id_col, num_perm=num_perm, bands=bands, k=k,
         n_parts=n_parts, concurrency=concurrency)
-    pair_ds = band_ds.groupby("band_part").map_groups(
+    return band_ds.groupby("band_part").map_groups(
         _minhash_verify_partition(id_col, num_perm, threshold, max_bucket),
         batch_format="pandas")
-    return cluster_pairs_dataset(pair_ds, _ids_dataset(ds, id_col, ids),
-                                 id_col, n_parts=n_parts)
 
 
 def minhash_candidate_pairs(ds, text_col: str, id_col: str, *,
@@ -1476,11 +1494,14 @@ def compact_index(index_dir: str, *, max_in_flight: int = 16) -> dict:
     embarrassingly parallel — one Ray task per multi-file bucket, each
     reading its own files only. Parameter sidecars (``_index_meta.json``)
     are untouched. Crash-safe: the merged file lands via atomic
-    ``os.replace`` before the wave files are unlinked, and a crash in
+    ``os.replace`` before the wave files are unlinked; a crash in
     between leaves duplicate rows that every probe tolerates (fp probe
-    takes min match_id; band probe drop-duplicates candidates) and the
-    next compact removes. Single-node note: same shared-filesystem
-    assumption as the builders/probes (documented there).
+    takes min match_id; band probe drop-duplicates candidates), and the
+    next compact's exact-duplicate-row drop removes them (both index
+    schemas are projections whose repeated rows carry zero information,
+    so the drop is always safe). Single-node note: same
+    shared-filesystem assumption as the builders/probes (documented
+    there).
 
     Returns {"buckets": total, "compacted": rewritten,
     "files_before": n, "files_after": n}.
@@ -1500,6 +1521,13 @@ def compact_index(index_dir: str, *, max_in_flight: int = 16) -> dict:
         merged = pa.concat_tables(
             [_pq.read_table(os.path.join(bdir, f)) for f in files],
             promote_options="default")
+        # drop exact-duplicate rows: a crash between a previous
+        # compact's os.replace and its unlinks leaves one wave's rows
+        # twice (review finding — without this the duplicates would be
+        # folded in permanently)
+        merged = pa.Table.from_pandas(
+            merged.to_pandas().drop_duplicates(),
+            schema=merged.schema, preserve_index=False)
         tmp = os.path.join(bdir, "_compact.tmp")
         _pq.write_table(merged, tmp)
         final = "compacted-000.parquet"

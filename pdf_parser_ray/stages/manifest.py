@@ -141,6 +141,20 @@ def completed_buckets(out_dir: str, fingerprint: str = "",
     return done
 
 
+def completed_parquet_files(out_dir: str, fingerprint: str = "",
+                            n_buckets: int | None = None) -> list[str]:
+    """Parquet files of every COMPLETED bucket (see
+    :func:`completed_buckets`) — the one listing the flagship's three
+    resume-replay passes (content dedup, near dedup, consistency) all
+    share (review finding: three drifting copies)."""
+    files: list[str] = []
+    for b in sorted(completed_buckets(out_dir, fingerprint, n_buckets)):
+        bdir = os.path.join(out_dir, f"bucket={b}")
+        files += [os.path.join(bdir, f) for f in sorted(os.listdir(bdir))
+                  if f.endswith(".parquet")]
+    return files
+
+
 def resume_filter(ds, out_dir: str, n_buckets: int = 64,
                   fingerprint: str = ""):
     """Drop input rows whose output bucket already has a valid manifest."""

@@ -312,11 +312,16 @@ def decode_y4m(payload: bytes) -> dict:
     frames = []
     pos = nl + 1
     while pos < len(payload):
-        fe = payload.index(b"\n", pos)
+        fe = payload.find(b"\n", pos)
+        if fe < 0:
+            raise ValueError("truncated Y4M frame marker")
         if not payload[pos:fe].startswith(b"FRAME"):
             raise ValueError("malformed Y4M frame marker")
         start = fe + 1
-        if start + ysz > len(payload):
+        # the CHROMA planes must be complete too: a file cut mid-chroma
+        # is corrupt even though only luma is returned (review finding —
+        # a strict decoder must not report success on it)
+        if start + ysz + chroma > len(payload):
             raise ValueError("truncated Y4M frame")
         frames.append(np.frombuffer(payload, np.uint8, count=ysz,
                                     offset=start).reshape(h, w))

@@ -997,8 +997,15 @@ def grouped_mode(ds, key: str, value_col: str, *, out_col: str = "modal",
     each pair once), ONE coarsened ``groupby(key-hash)`` exchange folds
     the counts and picks the argmax in-partition. Returns a Dataset of
     (key, out_col) — one row per key, never the raw pairs on the
-    driver."""
+    driver. NULL keys or values raise per batch (the grouping-sets
+    discipline: pandas groupby silently drops them while SQL keeps a
+    NULL group — filter upstream if you mean to exclude them)."""
     def part(df: pd.DataFrame) -> pd.DataFrame:
+        if df[key].isna().any() or df[value_col].isna().any():
+            raise ValueError(
+                "grouped_mode requires non-null keys and values "
+                "(pandas groupby drops them; SQL would group them) — "
+                "filter upstream")
         return (df.groupby([key, value_col], sort=False).size()
                 .rename("c").reset_index())
 

@@ -103,11 +103,20 @@ def grouped_hll_registers(ds, key: str, col: str, *, p: int = 12,
     Register CONTENT is deterministic (same md5 bit law as
     :func:`hll_sketch` via ``_hll_idx_rank``), so a SQL oracle can pin
     the registers exactly, not just the estimate. Returns pandas
-    (key, idx, register), sorted."""
+    (key, idx, register), sorted. NULL keys raise per batch; NULL
+    values are dropped (the q77 ``WHERE col IS NOT NULL`` law)."""
     from .relational import add_coarse_part
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.dropna(subset=[col, key])
+        if df[key].isna().any():
+            # the grouping-sets discipline: a silently-dropped NULL key
+            # diverges from SQL's NULL group — raise loudly per batch
+            # (null VALUES are dropped, matching the oracles' WHERE
+            # col IS NOT NULL convention)
+            raise ValueError(
+                "grouped_hll_registers requires non-null keys — "
+                "filter or fillna upstream")
+        d = df.dropna(subset=[col])
         if not len(d):
             return pd.DataFrame({key: pd.Series(dtype="object"),
                                  "idx": pd.Series(dtype="int64"),

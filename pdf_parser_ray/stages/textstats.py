@@ -1097,7 +1097,11 @@ def remove_duplicate_spans(ds, id_col: str, text_col: str = "text", *,
 
     if min_run is None:
         min_run = k
-    dup_rows = _dup_gram_positions(ds, id_col, text_col, k=k,
+    # the (id, text) projection feeds BOTH the gram explode and the
+    # rewrite union — materialize it once or the upstream read/lineage
+    # executes twice (review finding; the flagship materialize pattern)
+    proj_in = ds.select_columns([id_col, text_col]).materialize()
+    dup_rows = _dup_gram_positions(proj_in, id_col, text_col, k=k,
                                    n_parts=n_parts, batch_size=batch_size)
 
     def doc_side(df: pd.DataFrame) -> pd.DataFrame:
@@ -1114,7 +1118,7 @@ def remove_duplicate_spans(ds, id_col: str, text_col: str = "text", *,
             "pos": df["pos"].astype("Int64"),
             "side": np.int8(1)})
 
-    unioned = (ds.select_columns([id_col, text_col])
+    unioned = (proj_in
                .map_batches(doc_side, batch_format="pandas",
                             batch_size=batch_size)
                .union(dup_rows.map_batches(pos_side,

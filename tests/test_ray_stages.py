@@ -1543,6 +1543,16 @@ def test_compact_index_waves(ray_session, tmp_path):
     # idempotent: a second compact is a no-op
     s3 = compact_index(fp_idx)
     assert s3["compacted"] == 0 and s3["files_after"] == s3["files_before"]
+    # crash-between-replace-and-unlink recovery: a stray duplicate of a
+    # bucket's rows must be dropped by the next compact, not folded in
+    import shutil
+    bdir = next(os.path.join(fp_idx, d) for d in os.listdir(fp_idx)
+                if d.startswith("fp_part="))
+    rows_before = pq.read_table(bdir).num_rows
+    shutil.copy(os.path.join(bdir, "compacted-000.parquet"),
+                os.path.join(bdir, "stray-wave.parquet"))
+    compact_index(fp_idx)
+    assert pq.read_table(bdir).num_rows == rows_before
 
 
 def test_grouped_ntile_fill_rule(ray_session):
@@ -1623,6 +1633,10 @@ def test_decode_y4m_real(ray_session):
     assert np.array_equal(vm["y_frames"][1], f1)
     with pytest.raises(ValueError, match="truncated"):
         decode_y4m(payload[:-10])   # cut into the second luma plane
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(payload[:-3])    # cut into the second CHROMA plane
+    with pytest.raises(ValueError, match="truncated Y4M frame marker"):
+        decode_y4m(payload[:len(payload) - 8 - len(chroma) - 3])
     # actor-pool stage, strict: real stats; stride samples frame 0 only
     ds = ray.data.from_items([{"media_id": 7, "payload": payload}])
     out = sample_y4m_dataset(ds, stride=2, mode="strict").to_pandas()
