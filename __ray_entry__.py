@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q85_modal_event_type": Q.q85_modal_event_type,
         "q86_grouped_hll": Q.q86_grouped_hll,
         "q87_rollup_distributed": Q.q87_rollup_distributed,
+        "q88_funnel_conversion": Q.q88_funnel_conversion,
+        "q89_weighted_sample": Q.q89_weighted_sample,
         # -- dropped from the driver's r3 file (ran past its cutoff)
         "q24_embedding_dedup": Q.q24_embedding_dedup,
         "q30_knn_bruteforce": Q.q30_knn_bruteforce,
@@ -429,6 +431,38 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(n * sxx - sx * sx)
                             * sqrt(n * syy - sy * sy)), 6) AS corr
             FROM s ORDER BY event_type""",
+        # correlated-subquery form ON PURPOSE: MAX(c.ts) WHERE c.ts <=
+        # p.ts is the tie rule the stage pins (same-instant click counts)
+        "q88_funnel_conversion": """
+            WITH p AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 m AS (SELECT p.user_id, p.ts,
+                              (SELECT MAX(c.ts) FROM c
+                               WHERE c.user_id = p.user_id
+                                 AND c.ts <= p.ts) AS lc
+                       FROM p)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                   CAST(SUM(CASE WHEN lc IS NOT NULL
+                            AND epoch(ts) - epoch(lc) <= 3600
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+            FROM m GROUP BY 1 ORDER BY 1""",
+        # Efraimidis-Spirakis: top-k by ln(u)/w, u = stable md5-uniform
+        # of the id shifted off zero — the q41 hash-to-uniform family
+        "q89_weighted_sample": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+'))
+                          AS BIGINT) AS n_tokens,
+                     (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8)) AS UBIGINT) + 1)
+                       / 4294967297.0 AS u
+              FROM documents
+              WHERE len(regexp_extract_all(text, '\S+')) > 0),
+            s AS (SELECT doc_id, n_tokens FROM t
+                  ORDER BY ln(u) / n_tokens DESC, doc_id LIMIT 100)
+            SELECT doc_id, n_tokens FROM s ORDER BY doc_id""",
         "q84_order_ntile": """
             SELECT o_orderkey, o_custkey,
                    CAST(NTILE(4) OVER (PARTITION BY o_custkey

@@ -1021,6 +1021,40 @@ def q86_grouped_hll(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q88_funnel_conversion(sf_dir: str) -> pd.DataFrame:
+    """Funnel attribution window: per user, purchases preceded by that
+    user's latest click within one hour (same-instant click counts —
+    SQL's c.ts <= p.ts)."""
+    ds = _read(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_type"])
+    out = (R.funnel_conversion(ds, key="user_id", ts="ts",
+                               type_col="event_type",
+                               from_event="click", to_event="purchase",
+                               window_seconds=3600).to_pandas())
+    out = out.rename(columns={"n_target": "n_purchases"})
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q89_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Length-weighted document sampling without replacement
+    (Efraimidis–Spirakis keys on the stable id hash): 100 docs weighted
+    by token count."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def wcol(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": df["text"].fillna("").str.split().str.len()
+            .astype("int64")})
+
+    weighted = ds.map_batches(wcol, batch_format="pandas")
+    out = TS.weighted_sample(weighted, "doc_id", "n_tokens", k=100)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q83_y4m_frame_stats(sf_dir: str) -> pd.DataFrame:
     """REAL video decode through the actor-pool stage: each doc becomes
     a genuine YUV4MPEG2 payload (20x16 C420, 6 frames) whose luma bytes

@@ -959,6 +959,59 @@ def cube_aggregate(ds, keys: list[str], aggs: dict, *,
                                    mode=mode, n_parts=n_parts)
 
 
+def funnel_conversion(ds, *, key: str, ts: str, type_col: str,
+                      from_event: str, to_event: str,
+                      window_seconds: int = 3600, n_parts: int = 64,
+                      batch_size: int = 8192):
+    """Sequential-pattern funnel window (Ray Data has none): per key,
+    how many ``to_event`` rows were preceded by a ``from_event`` of the
+    same key (latest one with ts ≤ the target's ts) within
+    ``window_seconds``. The click→purchase attribution question.
+
+    Shape: the input projects to (key, ts, stage-flag) rows filtered to
+    the two event types (everything else never leaves the batch); ONE
+    coarsened ``groupby(key-hash)`` exchange co-locates each key's
+    rows; the in-partition pass is one vectorized sort + per-key
+    forward-fill of the last ``from_event`` timestamp + window test.
+    Ties at equal ts resolve from-before-to (a same-instant
+    ``from_event`` counts — SQL's ``c.ts <= p.ts`` semantics), pinned
+    by the explicit stage-flag sort column, not event-name order.
+    Returns a Dataset of (key, n_target, n_converted) — one row per key
+    with ≥1 ``to_event``."""
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[type_col].isin([from_event, to_event])]
+        return pd.DataFrame({
+            key: d[key],
+            ts: d[ts],
+            "_r": (d[type_col] == to_event).astype("int8")})
+
+    rows = (ds.select_columns([key, ts, type_col])
+            .map_batches(proj, batch_format="pandas",
+                         batch_size=batch_size))
+
+    def compute(group: pd.DataFrame) -> pd.DataFrame:
+        df = group.sort_values([key, ts, "_r"], kind="mergesort")
+        df[ts] = df[ts].astype("datetime64[ns]")
+        last_from = (df[ts].where(df["_r"] == 0)
+                     .groupby(df[key], sort=False).ffill())
+        tgt = df[df["_r"] == 1]
+        delta = (tgt[ts] - last_from[tgt.index]).dt.total_seconds()
+        conv = (delta.notna() & (delta <= window_seconds))
+        agg = (pd.DataFrame({key: tgt[key], "n": 1,
+                             "c": conv.astype("int64")})
+               .groupby(key, sort=False)
+               .agg(n_target=("n", "sum"), n_converted=("c", "sum"))
+               .reset_index())
+        agg["n_target"] = agg["n_target"].astype("int64")
+        agg["n_converted"] = agg["n_converted"].astype("int64")
+        return agg
+
+    return (add_coarse_part(rows, key, n_parts)
+            .groupby("_kpart")
+            .map_groups(lambda g: compute(g.drop(columns=["_kpart"])),
+                        batch_format="pandas"))
+
+
 def grouped_ntile(ds, key: str, order_by: list[str], *, tiles: int = 4,
                   out_col: str = "tile", n_parts: int = 64):
     """NTILE(t) OVER (PARTITION BY key ORDER BY order_by) — equal-ish

@@ -1060,6 +1060,40 @@ def importance_weights(ds, id_col: str, text_col: str = "text", *,
     return out.sort_values(id_col).reset_index(drop=True)
 
 
+def weighted_sample(ds, id_col: str, weight_col: str, k: int = 100, *,
+                    batch_size: int = 4096) -> pd.DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    hash-derandomized): each row gets sample key ln(u)/w where u is the
+    stable md5-uniform of its id (the :func:`temperature_sample` hash
+    family, shifted off 0) — the k LARGEST keys are exactly a weighted
+    sample without replacement. No RNG state: reproducible on any
+    cluster size and partitioning, and the whole rule is
+    SQL-replicable. One streaming pass; per-batch local top-k + tiny
+    driver merge (the ``topk`` shape, never a global sort). Rows with
+    weight ≤ 0 are excluded. 1-ulp caveat: two sample keys within one
+    ulp of the k-boundary could order differently vs a SQL engine's
+    ``ln`` — the same accepted boundary class temperature_sample
+    documents for its sqrt threshold."""
+    from .relational import topk
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col].to_numpy(np.float64)
+        keep = w > 0
+        d = df[[id_col, weight_col]][keep].copy()
+        u = (np.array([int(hashlib.md5(str(v).encode())
+                           .hexdigest()[:8], 16)
+                       for v in d[id_col]], dtype=np.float64)
+             + 1.0) / 4294967297.0
+        d["_skey"] = np.log(u) / w[keep]
+        return d
+
+    scored = ds.select_columns([id_col, weight_col]).map_batches(
+        score, batch_format="pandas", batch_size=batch_size)
+    res = topk(scored, "_skey", k, ascending=False, tie_break=id_col)
+    return (res[[id_col, weight_col]]
+            .sort_values(id_col).reset_index(drop=True))
+
+
 def remove_duplicate_spans(ds, id_col: str, text_col: str = "text", *,
                            k: int = 5, min_run: int | None = None,
                            n_parts: int = 64, batch_size: int = 512):

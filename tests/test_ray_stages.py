@@ -1586,6 +1586,62 @@ def test_grouped_mode_tie_break(ray_session):
         assert out.modal.tolist() == ["z", "b", "q"]
 
 
+def test_funnel_conversion_semantics(ray_session):
+    """Funnel window edge semantics: same-instant click counts
+    (c.ts <= p.ts), a purchase before any click does not convert, the
+    window bound is inclusive, keys without the target event are
+    absent — stable across partitionings."""
+    import ray.data
+    from pdf_parser_ray.stages.relational import funnel_conversion
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    rows = [
+        {"u": 1, "ts": t0, "e": "click"},
+        {"u": 1, "ts": t0, "e": "purchase"},                  # same instant
+        {"u": 1, "ts": t0 + pd.Timedelta(hours=2), "e": "purchase"},
+        {"u": 2, "ts": t0, "e": "purchase"},                  # no click ever
+        {"u": 3, "ts": t0, "e": "purchase"},                  # click AFTER
+        {"u": 3, "ts": t0 + pd.Timedelta(minutes=1), "e": "click"},
+        {"u": 3, "ts": t0 + pd.Timedelta(minutes=62), "e": "purchase"},
+        {"u": 4, "ts": t0, "e": "click"},                     # exactly 1h
+        {"u": 4, "ts": t0 + pd.Timedelta(hours=1), "e": "purchase"},
+        {"u": 5, "ts": t0, "e": "click"},                     # no purchase
+    ]
+    for parts in (1, 4):
+        out = (funnel_conversion(
+            ray.data.from_items(rows).repartition(parts), key="u",
+            ts="ts", type_col="e", from_event="click",
+            to_event="purchase", window_seconds=3600, n_parts=2)
+            .to_pandas().sort_values("u").reset_index(drop=True))
+        got = {r.u: (r.n_target, r.n_converted)
+               for r in out.itertuples()}
+        assert got == {1: (2, 1), 2: (1, 0), 3: (2, 0), 4: (1, 1)}
+
+
+def test_weighted_sample_deterministic_and_biased(ray_session):
+    """A-ES weighted sampling: identical result under any partitioning,
+    zero-weight rows excluded, and heavy weights dominate the sample."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import weighted_sample
+    rows = ([{"id": i, "w": 1000} for i in range(50)]          # heavy
+            + [{"id": 1000 + i, "w": 1} for i in range(200)]   # light
+            + [{"id": 9000, "w": 0}])                          # excluded
+    outs = []
+    for parts in (1, 5):
+        out = weighted_sample(
+            ray.data.from_items(rows).repartition(parts), "id", "w",
+            k=50)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert 9000 not in set(outs[0]["id"])
+    # 50 heavy rows carry 50k of 50.2k total mass: expect the sample
+    # to be dominated by them (deterministic given the fixed hash)
+    heavy = (outs[0]["id"] < 1000).sum()
+    assert heavy >= 40
+    # k larger than eligible rows returns all of them
+    allr = weighted_sample(ray.data.from_items(rows), "id", "w", k=500)
+    assert len(allr) == 250
+
+
 def test_kmeans_equidistant_tie(ray_session):
     """A point EXACTLY equidistant between two centroids must land in
     the smaller cluster id (argmin first-minimum == SQL ORDER BY d,
