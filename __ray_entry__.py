@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q87_rollup_distributed": Q.q87_rollup_distributed,
         "q88_funnel_conversion": Q.q88_funnel_conversion,
         "q89_weighted_sample": Q.q89_weighted_sample,
+        "q90_top_tokens_per_lang": Q.q90_top_tokens_per_lang,
+        "q91_value_zscore_outliers": Q.q91_value_zscore_outliers,
         # -- dropped from the driver's r3 file (ran past its cutoff)
         "q24_embedding_dedup": Q.q24_embedding_dedup,
         "q30_knn_bruteforce": Q.q30_knn_bruteforce,
@@ -431,6 +433,37 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(n * sxx - sx * sx)
                             * sqrt(n * syy - sy * sy)), 6) AS corr
             FROM s ORDER BY event_type""",
+        "q90_top_tokens_per_lang": r"""
+            WITH t AS (
+              SELECT lang,
+                     unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+              FROM documents),
+            c AS (SELECT lang, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+            r AS (SELECT lang, tok, c,
+                         ROW_NUMBER() OVER (PARTITION BY lang
+                                            ORDER BY c DESC, tok) AS rnk
+                  FROM c)
+            SELECT lang, tok, CAST(c AS BIGINT) AS c,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 5 ORDER BY lang, rnk""",
+        # z from the SAME moment expressions the stage uses (sx/n,
+        # sxx/n - mu^2) — never the native STDDEV whose float path differs
+        "q91_value_zscore_outliers": """
+            WITH s AS (
+              SELECT event_type, CAST(COUNT(value) AS DOUBLE) AS n,
+                     SUM(value) AS sx, SUM(value * value) AS sxx
+              FROM events WHERE value IS NOT NULL GROUP BY 1),
+            st AS (
+              SELECT event_type, sx / n AS mu,
+                     sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0))
+                         AS sigma
+              FROM s)
+            SELECT e.event_id, e.event_type,
+                   ROUND((e.value - st.mu) / st.sigma, 6) AS z
+            FROM events e JOIN st USING (event_type)
+            WHERE e.value IS NOT NULL
+              AND abs((e.value - st.mu) / st.sigma) > 3.0
+            ORDER BY e.event_id""",
         # correlated-subquery form ON PURPOSE: MAX(c.ts) WHERE c.ts <=
         # p.ts is the tie rule the stage pins (same-instant click counts)
         "q88_funnel_conversion": """

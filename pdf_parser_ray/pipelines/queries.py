@@ -1021,6 +1021,97 @@ def q86_grouped_hll(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q90_top_tokens_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Grouped heavy hitters: the 5 most frequent tokens per language
+    (ties to the lexicographically smaller token) — combiner-shaped
+    (lang, token, count) partials through one coarsened exchange, then
+    the grouped-topk finish; the raw token stream never shuffles."""
+    ds = _read(sf_dir, "documents").select_columns(["lang", "text"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.split()
+        t = (pd.DataFrame({"lang": df["lang"], "tok": toks})
+             .explode("tok").dropna(subset=["tok"]))
+        if t.empty:
+            return pd.DataFrame({"lang": pd.Series(dtype="object"),
+                                 "tok": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        return (t.groupby(["lang", "tok"], sort=False).size()
+                .rename("c").reset_index())
+
+    parts = ds.map_batches(part, batch_format="pandas", batch_size=256)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby(["lang", "tok"], sort=False)["c"].sum()
+             .reset_index())
+        g = g.sort_values(["lang", "c", "tok"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.groupby("lang", sort=False).head(5)
+
+    # co-partition on (lang, tok) so the count fold is global, then a
+    # second tiny exchange on lang for the per-lang top-5
+    counts = (R.add_coarse_part(parts, ["lang", "tok"], 32)
+              .groupby("_kpart")
+              .map_groups(
+                  lambda df: df.drop(columns=["_kpart"])
+                  .groupby(["lang", "tok"], sort=False)["c"]
+                  .sum().reset_index(), batch_format="pandas"))
+    out = (R.add_coarse_part(counts, "lang", 8)
+           .groupby("_kpart")
+           .map_groups(lambda g: fold(g.drop(columns=["_kpart"])),
+                       batch_format="pandas").to_pandas())
+    out["c"] = out["c"].astype("int64")
+    out["rnk"] = (out.sort_values(["lang", "c", "tok"],
+                                  ascending=[True, False, True])
+                  .groupby("lang", sort=False).cumcount() + 1)
+    out["rnk"] = out["rnk"].astype("int64")
+    return (out.sort_values(["lang", "rnk"])
+            .reset_index(drop=True)[["lang", "tok", "c", "rnk"]])
+
+
+def q91_value_zscore_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-key z-score outlier flags: events whose value deviates more
+    than 3 population standard deviations from their event type's mean
+    — one pre-aggregate pass for the (n, Σx, Σx²) moments, a broadcast
+    of the tiny moment table, and a per-batch vectorized flag; the
+    event stream moves zero times."""
+    ds = _read(sf_dir, "events").select_columns(
+        ["event_id", "event_type", "value"])
+
+    def mom(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["value"])
+        x = d["value"].to_numpy(np.float64)
+        g = pd.DataFrame({"event_type": d["event_type"],
+                          "x": x, "xx": x * x})
+        return (g.groupby("event_type", sort=False)
+                .agg(n=("x", "size"), sx=("x", "sum"),
+                     sxx=("xx", "sum")).reset_index())
+
+    parts = ds.map_batches(mom, batch_format="pandas").to_pandas()
+    tot = parts.groupby("event_type", sort=True).sum(numeric_only=True)
+    n = tot["n"].to_numpy(np.float64)
+    mean = tot["sx"].to_numpy() / n
+    var = tot["sxx"].to_numpy() / n - mean * mean
+    stats = pd.DataFrame({"event_type": tot.index, "mu": mean,
+                          "sigma": np.sqrt(np.maximum(var, 0.0))})
+
+    import ray
+    ref = ray.put(stats)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(ref)
+        d = df.dropna(subset=["value"]).merge(s, on="event_type")
+        z = (d["value"].to_numpy(np.float64) - d["mu"].to_numpy()) \
+            / d["sigma"].to_numpy()
+        out = d[np.abs(z) > 3.0][["event_id", "event_type"]].copy()
+        out["z"] = np.round(z[np.abs(z) > 3.0], 6)
+        return out
+
+    out = ds.map_batches(flag, batch_format="pandas").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q88_funnel_conversion(sf_dir: str) -> pd.DataFrame:
     """Funnel attribution window: per user, purchases preceded by that
     user's latest click within one hour (same-instant click counts —

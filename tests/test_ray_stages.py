@@ -1997,6 +1997,33 @@ def test_remove_duplicate_spans_vs_bruteforce(ray_session):
     assert got == expect
 
 
+def test_span_stats_vs_removal_consistency(ray_session):
+    """The measure (q73) and the transform (q81) agree by construction
+    at min_run=k: every covered token is removed, so n_removed ==
+    covered_tokens per doc, and the cleaned token count equals the
+    original minus the removal."""
+    import ray.data
+    from pdf_parser_ray.stages.textstats import (duplicate_span_stats,
+                                                 remove_duplicate_spans)
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(9)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 20)))
+             for _ in range(40)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ds = ray.data.from_items(rows).repartition(4)
+    stats = duplicate_span_stats(ds, "doc_id", "text", k=3, n_parts=4)
+    cov = dict(zip(stats.doc_id, stats.covered_tokens))
+    removed = (remove_duplicate_spans(ds, "doc_id", "text", k=3,
+                                      n_parts=4)
+               .to_pandas().sort_values("doc_id")
+               .reset_index(drop=True))
+    assert len(removed) == len(rows)
+    for r in removed.itertuples():
+        assert r.n_removed == cov.get(r.doc_id, 0)
+        orig = len(texts[r.doc_id].split())
+        assert len(r.clean_text.split()) == orig - r.n_removed
+
+
 def test_importance_weights(ray_session):
     """LLR sign sanity: a doc made of target-only tokens scores higher
     than one made of off-target tokens; smoothing keeps unseen-in-target
