@@ -88,9 +88,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q78_value_hour_corr": Q.q78_value_hour_corr,
         "q79_cube_revenue": Q.q79_cube_revenue,
         "q80_event_lag_delta": Q.q80_event_lag_delta,
-        # pre_aggregate's fold was refactored in r5 — keep one of its
-        # direct consumers in the driver-checked head
+        # pre_aggregate's fold and the md5_u32 hash helper were
+        # refactored in r5 — keep their direct consumers in the
+        # driver-checked head
         "q17_sliding_window": Q.q17_sliding_window,
+        "q41_temperature_sample": Q.q41_temperature_sample,
+        "q44_pack_documents": Q.q44_pack_documents,
+        "q49_corpus_pipeline": Q.q49_corpus_pipeline,
         # -- dedup family
         "q18_kmv_sketch": Q.q18_kmv_sketch,
         "q19_unigram_quality": Q.q19_unigram_quality,

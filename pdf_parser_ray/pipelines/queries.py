@@ -1041,29 +1041,18 @@ def q90_top_tokens_per_lang(sf_dir: str) -> pd.DataFrame:
 
     parts = ds.map_batches(part, batch_format="pandas", batch_size=256)
 
-    def fold(group: pd.DataFrame) -> pd.DataFrame:
-        g = (group.groupby(["lang", "tok"], sort=False)["c"].sum()
-             .reset_index())
-        g = g.sort_values(["lang", "c", "tok"],
-                          ascending=[True, False, True], kind="mergesort")
-        return g.groupby("lang", sort=False).head(5)
-
-    # co-partition on (lang, tok) so the count fold is global, then a
-    # second tiny exchange on lang for the per-lang top-5
+    # co-partition on (lang, tok) so the count fold is global, then the
+    # existing grouped_topk finish (two-level pruning: each batch ships
+    # at most 5 candidate rows per lang into the second tiny exchange)
     counts = (R.add_coarse_part(parts, ["lang", "tok"], 32)
               .groupby("_kpart")
               .map_groups(
                   lambda df: df.drop(columns=["_kpart"])
                   .groupby(["lang", "tok"], sort=False)["c"]
                   .sum().reset_index(), batch_format="pandas"))
-    out = (R.add_coarse_part(counts, "lang", 8)
-           .groupby("_kpart")
-           .map_groups(lambda g: fold(g.drop(columns=["_kpart"])),
-                       batch_format="pandas").to_pandas())
+    out = (R.grouped_topk(counts, "lang", "c", 5, tie_break="tok",
+                          keep=["tok", "c"], n_parts=8).to_pandas())
     out["c"] = out["c"].astype("int64")
-    out["rnk"] = (out.sort_values(["lang", "c", "tok"],
-                                  ascending=[True, False, True])
-                  .groupby("lang", sort=False).cumcount() + 1)
     out["rnk"] = out["rnk"].astype("int64")
     return (out.sort_values(["lang", "rnk"])
             .reset_index(drop=True)[["lang", "tok", "c", "rnk"]])
@@ -1103,8 +1092,9 @@ def q91_value_zscore_outliers(sf_dir: str) -> pd.DataFrame:
         d = df.dropna(subset=["value"]).merge(s, on="event_type")
         z = (d["value"].to_numpy(np.float64) - d["mu"].to_numpy()) \
             / d["sigma"].to_numpy()
-        out = d[np.abs(z) > 3.0][["event_id", "event_type"]].copy()
-        out["z"] = np.round(z[np.abs(z) > 3.0], 6)
+        m = np.abs(z) > 3.0
+        out = d[m][["event_id", "event_type"]].copy()
+        out["z"] = np.round(z[m], 6)
         return out
 
     out = ds.map_batches(flag, batch_format="pandas").to_pandas()

@@ -624,6 +624,18 @@ def ngram_contamination(train_ds, test_ds, id_col: str,
             .astype("int64").reset_index())
 
 
+def md5_u32(values) -> np.ndarray:
+    """Stable 32-bit md5 prefix per value — the one hash-to-integer rule
+    behind temperature sampling, packing shards and weighted sampling
+    (``int(md5(str(v))[:8], 16)``; SQL twin: ``CAST('0x' ||
+    substr(md5(CAST(v AS VARCHAR)), 1, 8) AS UBIGINT)``). One
+    implementation so the rule cannot drift between stages (review
+    finding: it was inlined three times)."""
+    return np.array(
+        [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+         for v in values], dtype=np.uint64)
+
+
 def temperature_sample(ds, id_col: str, group_col: str, *,
                        alpha: float = 0.5, batch_size: int = 4096):
     """Temperature-based group rebalancing (the XLM-R / mT5 multilingual
@@ -658,9 +670,7 @@ def temperature_sample(ds, id_col: str, group_col: str, *,
     rates = {g: math.sqrt(n_min / int(n)) for g, n in counts.items()}
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        frac = np.array(
-            [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
-             for v in df[id_col]], dtype=np.float64) / 4294967296.0
+        frac = md5_u32(df[id_col]).astype(np.float64) / 4294967296.0
         rate = df[group_col].map(rates).to_numpy(dtype=np.float64)
         return df[frac < rate]
 
@@ -690,9 +700,8 @@ def pack_documents(ds, id_col: str, text_col: str = "text", *,
     def prep(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({id_col: df[id_col]})
         out["shard"] = pd.Series(
-            [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
-             % n_shards for v in df[id_col]], dtype="int64",
-            index=df.index)
+            (md5_u32(df[id_col]) % np.uint64(n_shards)).astype("int64"),
+            dtype="int64", index=df.index)
         out["n_tokens"] = (df[text_col].fillna("").str.split()
                            .str.len().astype("int64"))
         return out
@@ -1080,9 +1089,7 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int = 100, *,
         w = df[weight_col].to_numpy(np.float64)
         keep = w > 0
         d = df[[id_col, weight_col]][keep].copy()
-        u = (np.array([int(hashlib.md5(str(v).encode())
-                           .hexdigest()[:8], 16)
-                       for v in d[id_col]], dtype=np.float64)
+        u = (md5_u32(d[id_col]).astype(np.float64)
              + 1.0) / 4294967297.0
         d["_skey"] = np.log(u) / w[keep]
         return d
