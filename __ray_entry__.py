@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q89_weighted_sample": Q.q89_weighted_sample,
         "q90_top_tokens_per_lang": Q.q90_top_tokens_per_lang,
         "q91_value_zscore_outliers": Q.q91_value_zscore_outliers,
+        "q92_knn_ivf_full_probe": Q.q92_knn_ivf_full_probe,
         # -- dropped from the driver's r3 file (ran past its cutoff)
         "q24_embedding_dedup": Q.q24_embedding_dedup,
         "q30_knn_bruteforce": Q.q30_knn_bruteforce,
@@ -803,6 +804,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 1 AS same_cluster FROM documents ORDER BY doc_id""",
         "q24_embedding_dedup": """
             SELECT vec_id, 1 AS same_cluster FROM embeddings ORDER BY vec_id""",
+        # identical SQL to q30 by design: full-probe IVF must equal
+        # brute force, pinning the index build/read path hash-exactly
+        "q92_knn_ivf_full_probe": """
+            SELECT query_id, neighbor_id, cosine FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     ROUND(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                         a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                       b.vec_id) AS rn
+              FROM embeddings a CROSS JOIN embeddings b
+              WHERE a.vec_id < 8)
+            WHERE rn <= 5 ORDER BY query_id, rn""",
         "q30_knn_bruteforce": """
             SELECT query_id, neighbor_id, cosine FROM (
               SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

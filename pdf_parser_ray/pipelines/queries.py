@@ -503,6 +503,20 @@ def q31_knn_ivf(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def q92_knn_ivf_full_probe(sf_dir: str) -> pd.DataFrame:
+    """IVF index probed at nprobe = n_centroids: the union of every
+    probed partition IS the corpus, so the result must equal brute
+    force EXACTLY — same oracle as q30 by design, which hash-pins the
+    whole IVF plumbing (build partitioning, hive-pruned reads, vector
+    round-trip through parquet, shared knn_topk finish). Only the
+    recall-vs-nprobe trade (q31) stays rows-only by nature."""
+    queries = _query_vectors(sf_dir)
+    out = _ivf_index(sf_dir).search(queries, k=KNN_K, nprobe=8)
+    return (out.sort_values(["query_id", "cosine", "neighbor_id"],
+                            ascending=[True, False, True])
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (deterministic fake decode)
 # ---------------------------------------------------------------------------
