@@ -66,6 +66,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q90_top_tokens_per_lang": Q.q90_top_tokens_per_lang,
         "q91_value_zscore_outliers": Q.q91_value_zscore_outliers,
         "q92_knn_ivf_full_probe": Q.q92_knn_ivf_full_probe,
+        "q93_weighted_avg_discount": Q.q93_weighted_avg_discount,
+        "q94_event_pivot": Q.q94_event_pivot,
+        "q95_unpivot_rates": Q.q95_unpivot_rates,
+        "q96_geomean_price": Q.q96_geomean_price,
+        "q97_revenue_share": Q.q97_revenue_share,
         # -- dropped from the driver's r3 file (ran past its cutoff)
         "q24_embedding_dedup": Q.q24_embedding_dedup,
         "q30_knn_bruteforce": Q.q30_knn_bruteforce,
@@ -438,6 +443,51 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(n * sxx - sx * sx)
                             * sqrt(n * syy - sy * sy)), 6) AS corr
             FROM s ORDER BY event_type""",
+        "q93_weighted_avg_discount": """
+            SELECT l_returnflag,
+                   ROUND(SUM(l_discount * l_quantity) / SUM(l_quantity),
+                         6) AS w_avg_discount
+            FROM lineitem GROUP BY 1 ORDER BY 1""",
+        "q94_event_pivot": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY 1 ORDER BY 1""",
+        "q95_unpivot_rates": """
+            SELECT l_orderkey, l_linenumber, 'l_tax' AS metric,
+                   ROUND(l_tax, 2) AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   ROUND(l_discount, 2)
+            FROM lineitem
+            ORDER BY 1, 2, 3""",
+        # SUM(LN)/COUNT rather than AVG(LN): mirrors the stage's
+        # sum-then-divide op shape
+        "q96_geomean_price": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(EXP(SUM(LN(o_totalprice)) / COUNT(*)), 2)
+                       AS geomean
+            FROM orders WHERE o_totalprice > 0
+            GROUP BY 1 ORDER BY 1""",
+        "q97_revenue_share": """
+            WITH a AS (
+              SELECT c_mktsegment AS segment,
+                     SUM(o_totalprice) AS r
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1),
+            t AS (SELECT SUM(r) AS tot FROM a)
+            SELECT segment, ROUND(r, 2) AS revenue,
+                   ROUND(r / tot, 6) AS share
+            FROM a, t ORDER BY segment""",
         "q90_top_tokens_per_lang": r"""
             WITH t AS (
               SELECT lang,

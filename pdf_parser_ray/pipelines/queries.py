@@ -1035,6 +1035,113 @@ def q86_grouped_hll(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q93_weighted_avg_discount(sf_dir: str) -> pd.DataFrame:
+    """Weighted mean (quantity-weighted average discount per return
+    flag): the per-batch map adds the product column, then ONE
+    pre-aggregate pass carries (Σw·x, Σw) — the general
+    weighted-aggregate shape (never AVG of AVGs)."""
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_discount", "l_quantity"])
+
+    def prod(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["l_returnflag", "l_quantity"]].copy()
+        out["wx"] = df["l_discount"] * df["l_quantity"]
+        return out
+
+    agg = R.pre_aggregate(ds.map_batches(prod, batch_format="pandas"),
+                          ["l_returnflag"],
+                          {"swx": ("wx", "sum"), "sw": ("l_quantity",
+                                                        "sum")})
+    agg["w_avg_discount"] = (agg["swx"] / agg["sw"]).round(6)
+    return (agg[["l_returnflag", "w_avg_discount"]]
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
+def q94_event_pivot(sf_dir: str) -> pd.DataFrame:
+    """PIVOT on a bounded key set: per user, one column per event type
+    (conditional-count indicators added per batch, then one
+    pre-aggregate pass — the wide stream never shuffles raw rows)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events").select_columns(["user_id", "event_type"])
+
+    def ind(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["user_id"]].copy()
+        for t in types:
+            out[f"n_{t}"] = (df["event_type"] == t).astype("int64")
+        return out
+
+    agg = R.pre_aggregate(ds.map_batches(ind, batch_format="pandas"),
+                          ["user_id"],
+                          {f"n_{t}": (f"n_{t}", "sum") for t in types})
+    agg["user_id"] = agg["user_id"].astype("int64")
+    for t in types:
+        agg[f"n_{t}"] = agg[f"n_{t}"].astype("int64")
+    return agg.sort_values("user_id").reset_index(drop=True)
+
+
+def q95_unpivot_rates(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT / melt: the (tax, discount) metric columns become
+    (metric, value) rows — a pure per-batch map (zero shuffles), the
+    long-form layout feature stores ingest."""
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_tax", "l_discount"])
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(id_vars=["l_orderkey", "l_linenumber"],
+                      value_vars=["l_tax", "l_discount"],
+                      var_name="metric", value_name="value")
+        out["value"] = out["value"].round(2)
+        return out
+
+    out = ds.map_batches(melt, batch_format="pandas").to_pandas()
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    out["l_linenumber"] = out["l_linenumber"].astype("int64")
+    return (out.sort_values(["l_orderkey", "l_linenumber", "metric"])
+            .reset_index(drop=True))
+
+
+def q96_geomean_price(sf_dir: str) -> pd.DataFrame:
+    """Log-domain aggregate (geometric mean of order totals per
+    priority): Σln(x) and n ride one pre-aggregate pass,
+    exp(Σln/n) finishes — the numerically-sane product aggregate."""
+    ds = _read(sf_dir, "orders").select_columns(
+        ["o_orderpriority", "o_totalprice"])
+
+    def logs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["o_totalprice"] > 0]
+        out = d[["o_orderpriority"]].copy()
+        out["lx"] = np.log(d["o_totalprice"].to_numpy(np.float64))
+        return out
+
+    agg = R.pre_aggregate(ds.map_batches(logs, batch_format="pandas"),
+                          ["o_orderpriority"],
+                          {"slx": ("lx", "sum"), "n": ("lx", "count")})
+    agg["geomean"] = np.round(np.exp(agg["slx"] / agg["n"]), 2)
+    agg["n"] = agg["n"].astype("int64")
+    return (agg[["o_orderpriority", "n", "geomean"]]
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def q97_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Ratio-to-report window (share of total): per-segment revenue and
+    its fraction of the grand total — one pre-aggregate pass; the
+    normalization is a driver-side divide over the tiny report frame."""
+    customer = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_totalprice"])
+    joined = R.broadcast_join(orders, customer.rename(
+        columns={"c_custkey": "o_custkey"}), on="o_custkey")
+    agg = R.pre_aggregate(joined, ["c_mktsegment"],
+                          {"revenue": ("o_totalprice", "sum")})
+    total = agg["revenue"].sum()
+    out = pd.DataFrame({
+        "segment": agg["c_mktsegment"],
+        "revenue": agg["revenue"].round(2),
+        "share": (agg["revenue"] / total).round(6)})
+    return out.sort_values("segment").reset_index(drop=True)
+
+
 def q90_top_tokens_per_lang(sf_dir: str) -> pd.DataFrame:
     """Grouped heavy hitters: the 5 most frequent tokens per language
     (ties to the lexicographically smaller token) — combiner-shaped
