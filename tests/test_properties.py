@@ -182,3 +182,48 @@ def test_bucket_pairs_cap_invariants(rows, m):
         # directly (star/tail) or as a clique member
         for v in ms[1:]:
             assert (ms[0], v) in capped
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(1, 8), st.integers(1, 8), st.integers(0, 4),
+       st.sampled_from(["420", "422", "444", "mono"]),
+       st.integers(0, 2**32 - 1))
+def test_y4m_roundtrip(w2, h2, n_frames, cs, seed):
+    """decode_y4m is the exact inverse of Y4M encoding for every
+    colorspace geometry: random luma planes come back bit-identical and
+    chroma is skipped at the right stride."""
+    import numpy as np
+    from pdf_parser_ray.stages.multimodal import decode_y4m
+
+    w, h = w2 * 2, h2 * 2  # subsampled colorspaces need even dims
+    rng = np.random.RandomState(seed)
+    frames = [rng.randint(0, 256, (h, w), dtype=np.uint8)
+              for _ in range(n_frames)]
+    chroma_n = {"420": (w // 2) * (h // 2) * 2, "422": (w // 2) * h * 2,
+                "444": w * h * 2, "mono": 0}[cs]
+    payload = f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 C{cs}\n".encode()
+    for f in frames:
+        payload += b"FRAME\n" + f.tobytes() + bytes([128]) * chroma_n
+    v = decode_y4m(payload)
+    assert (v["width"], v["height"], v["colorspace"]) == (w, h, cs)
+    assert len(v["y_frames"]) == n_frames
+    for got, want in zip(v["y_frames"], frames):
+        assert np.array_equal(got, want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=100),
+       st.integers(4, 14))
+def test_hll_idx_rank_invariants(vals, p):
+    """The shared HLL bit law: register index < 2^p, 1 <= rank <=
+    64-p+1, and equal inputs always map identically (determinism the
+    grouped and global sketches both rest on)."""
+    import pandas as pd
+    from pdf_parser_ray.stages.sketch import _hll_idx_rank
+
+    s = pd.Series(vals)
+    idx, rank = _hll_idx_rank(s, p)
+    assert (idx >= 0).all() and (idx < (1 << p)).all()
+    assert (rank >= 1).all() and (rank <= 64 - p + 1).all()
+    idx2, rank2 = _hll_idx_rank(s, p)
+    assert (idx == idx2).all() and (rank == rank2).all()
